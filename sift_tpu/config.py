@@ -1,0 +1,129 @@
+"""SIFT parameter block and pipeline sizing configuration.
+
+Mirrors the reference's file-static parameter block (reference:
+src/sift.cpp:3-47) as an immutable dataclass, plus the static-shape
+sizing knobs (candidate caps, max keypoints) that a TPU pipeline needs
+because XLA requires static shapes where the reference grows
+std::vectors dynamically.
+
+Reference quirks we deliberately reproduce (they affect match parity):
+  * n_octave_layers = 2 (non-standard; src/sift.cpp:4)
+  * no initial 2x upsampling (createInitialImage ignores doubleSize;
+    src/sift.cpp:219-227)
+  * extrema threshold is the literal 8 on the 0..255 scale, not the
+    computed cvFloor(...) = 2 (src/sift.cpp:551,564)
+  * Gaussian kernels truncated at radius floor(3*sigma) and NOT
+    renormalized (src/sift.cpp:95-108)
+  * blur treats the last row/col as out-of-bounds zeros
+    (getSubMatrix off-by-one, src/sift.cpp:116)
+  * descriptors end sqrt(L1-normalized) ("RootSIFT tail",
+    src/sift.cpp:711-721), which is why matching uses L1 distance
+    with ratio 0.86 (src/main.cpp:25,38)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SIFTConfig:
+    # --- algorithm constants (reference src/sift.cpp:3-47) ---
+    n_octaves: int = 5                   # literal 5 at call sites (sift.cpp:67-68,78)
+    n_octave_layers: int = 2             # sift.cpp:4
+    sigma: float = 1.6                   # sift.cpp:6
+    contrast_threshold: float = 0.04     # sift.cpp:8
+    edge_threshold: float = 10.0         # sift.cpp:9
+    init_sigma_assumed: float = 0.2      # sqrt(Sigma^2 + 0.2^2) at sift.cpp:237
+    descr_width: int = 4                 # SIFT_DESCR_WIDTH, sift.cpp:12
+    descr_hist_bins: int = 8             # SIFT_DESCR_HIST_BINS, sift.cpp:15
+    img_border: int = 5                  # SIFT_IMG_BORDER, sift.cpp:21
+    max_interp_steps: int = 5            # SIFT_MAX_INTERP_STEPS, sift.cpp:24
+    ori_hist_bins: int = 36              # SIFT_ORI_HIST_BINS, sift.cpp:27
+    ori_sig_fctr: float = 1.5            # SIFT_ORI_SIG_FCTR, sift.cpp:30
+    ori_radius_fctr: float = 4.5         # SIFT_ORI_RADIUS = 3*1.5, sift.cpp:33
+    ori_peak_ratio: float = 0.8          # SIFT_ORI_PEAK_RATIO, sift.cpp:36
+    descr_scl_fctr: float = 3.0          # SIFT_DESCR_SCL_FCTR, sift.cpp:39
+    descr_mag_thr: float = 0.2           # SIFT_DESCR_MAG_THR, sift.cpp:42
+    int_descr_fctr: float = 512.0        # SIFT_INT_DESCR_FCTR, sift.cpp:45
+    nms_threshold: float = 8.0           # literal at sift.cpp:564 (NOT the computed 2)
+
+    # --- static-shape sizing (TPU-specific; no reference counterpart) ---
+    # Max extremum candidates surfaced per octave (before refinement).
+    detect_caps: Tuple[int, ...] = (2048, 1024, 512, 256, 128)
+    # Max orientation peaks expanded per refined keypoint.
+    max_ori_peaks: int = 4
+    # Final global keypoint budget after cross-octave compaction.
+    max_keypoints: int = 4096
+    # Matcher ratio-test threshold (reference src/main.cpp:38).
+    match_ratio: float = 0.86
+
+    @property
+    def n_scales(self) -> int:
+        # nScales = nOctaveLayers + 3 (sift.cpp:5)
+        return self.n_octave_layers + 3
+
+    @property
+    def n_dog(self) -> int:
+        return self.n_scales - 1
+
+    @property
+    def descr_size(self) -> int:
+        return self.descr_width * self.descr_width * self.descr_hist_bins
+
+    @property
+    def init_blur_sigma(self) -> float:
+        # createInitialImage sigma = sqrt(Sigma^2 + 0.2^2) (sift.cpp:237)
+        return math.sqrt(self.sigma * self.sigma
+                         + self.init_sigma_assumed * self.init_sigma_assumed)
+
+    def scale_sigmas(self) -> Tuple[float, ...]:
+        """Per-scale blur sigmas applied to the octave *base* image.
+
+        sig[i] = sqrt((k^i * sigma)^2 - sigma^2), k = 2^(1/nOctaveLayers)
+        (reference sift.cpp:240-245). Unlike OpenCV's incremental
+        layer-to-layer blur, every non-base layer is blurred directly
+        from the octave base (sift.cpp:257-258) — which makes all layers
+        of an octave independent and lets us batch them into one conv.
+        """
+        k = 2.0 ** (1.0 / self.n_octave_layers)
+        sigs = [self.sigma]
+        for i in range(1, self.n_scales):
+            total = (k ** i) * self.sigma
+            sigs.append(math.sqrt(total * total - self.sigma * self.sigma))
+        return tuple(sigs)
+
+    @property
+    def max_scl_octv(self) -> float:
+        """Upper bound on scl_octv = sigma * 2^((layer+xi)/nOctaveLayers).
+
+        After refinement, layer <= nOctaveLayers and |xi| <= 0.5
+        (sift.cpp:332,344), so the max exponent is
+        (nOctaveLayers + 0.5)/nOctaveLayers.
+        """
+        return self.sigma * 2.0 ** (
+            (self.n_octave_layers + 0.5) / self.n_octave_layers)
+
+    @property
+    def ori_patch_radius(self) -> int:
+        """Static patch radius covering the largest orientation window.
+
+        Reference radius = cvRound(SIFT_ORI_RADIUS * scl_octv)
+        (sift.cpp:521); we gather a fixed max-size patch and mask.
+        """
+        return int(math.ceil(self.ori_radius_fctr * self.max_scl_octv))
+
+    @property
+    def descr_patch_radius(self) -> int:
+        """Static patch radius covering the largest descriptor window.
+
+        Reference radius = cvRound(hist_width * sqrt(2) * (d+1) * 0.5),
+        hist_width = 3 * scl (sift.cpp:587-588).
+        """
+        hw = self.descr_scl_fctr * self.max_scl_octv
+        return int(math.ceil(hw * math.sqrt(2.0) * (self.descr_width + 1) * 0.5))
+
+
+DEFAULT_CONFIG = SIFTConfig()

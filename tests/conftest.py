@@ -1,0 +1,59 @@
+"""Test configuration: run everything on CPU with 8 virtual devices.
+
+Multi-chip sharding tests use a virtual 8-device mesh per SURVEY.md §4;
+Pallas kernels run with interpret=True on CPU.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("SIFT_TPU_INTERPRET_PALLAS", "1")
+
+import jax  # noqa: E402
+
+# The container's sitecustomize force-registers the axon TPU plugin and
+# sets jax_platforms="axon,cpu" at interpreter start, overriding the
+# env var. Backends initialize lazily, so overriding the config here
+# (before any computation) pins tests to the virtual-8-device CPU.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def small_image():
+    """Deterministic synthetic test image with blob/corner structure."""
+    rng = np.random.default_rng(42)
+    h, w = 160, 200
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = 96.0 + 40.0 * np.sin(xx / 13.0) * np.cos(yy / 17.0)
+    # scatter gaussian blobs of varying scale/polarity
+    for k in range(24):
+        cy, cx = rng.uniform(15, h - 15), rng.uniform(15, w - 15)
+        s = rng.uniform(1.5, 6.0)
+        a = rng.uniform(40, 110) * (1 if k % 2 == 0 else -1)
+        img += a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+    img += rng.normal(0, 2.0, (h, w))
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+@pytest.fixture(scope="session")
+def book_gray():
+    """Reference data/book.jpg ingested exactly like the reference
+    (BGR imread + RGB2GRAY-on-BGR), downscaled for test speed."""
+    cv2 = pytest.importorskip("cv2")
+    img = cv2.imread("/root/reference/data/book.jpg")
+    assert img is not None
+    img = cv2.resize(img, (160, 224))
+    gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    return gray.astype(np.float32)
