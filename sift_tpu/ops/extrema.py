@@ -1,0 +1,74 @@
+"""DoG scale-space extrema scan (replaces reference C8a).
+
+Functional twin of the 26-neighbor NMS in
+findScaleSpaceExtremaComputer (src/sift.cpp:487-511): a pixel is a
+candidate iff |val| > 8 (the literal threshold passed at
+src/sift.cpp:564) and it is >= (resp. <=) every neighbor of its
+3x3x3 DoG cube, with a 5 px border margin (src/sift.cpp:487-491).
+
+TPU-first restructuring: the reference walks pixels serially and
+pushes into TLS vectors; we evaluate the NMS as a dense masked
+array program over the whole octave (fused elementwise on the VPU)
+and surface the top-K candidates by |response| via top_k — fixed
+capacity, validity-masked.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import jax
+
+from sift_tpu.config import SIFTConfig, DEFAULT_CONFIG
+
+
+def extrema_mask(dog: jnp.ndarray, cfg: SIFTConfig = DEFAULT_CONFIG
+                 ) -> jnp.ndarray:
+    """(D, H, W) DoG stack -> (nL, H, W) candidate mask for layers 1..nL."""
+    nl = cfg.n_octave_layers
+    d, h, w = dog.shape
+    val = dog[1:1 + nl]
+    p = jnp.pad(dog, ((0, 0), (1, 1), (1, 1)))
+    nmax = jnp.full_like(val, -jnp.inf)
+    nmin = jnp.full_like(val, jnp.inf)
+    for dl in (-1, 0, 1):
+        for dr in (0, 1, 2):
+            for dc in (0, 1, 2):
+                if dl == 0 and dr == 1 and dc == 1:
+                    continue  # center
+                s = jax.lax.dynamic_slice(
+                    p, (1 + dl, dr, dc), (nl, h, w))
+                nmax = jnp.maximum(nmax, s)
+                nmin = jnp.minimum(nmin, s)
+    mask = (jnp.abs(val) > cfg.nms_threshold) & (
+        ((val > 0) & (val >= nmax)) | ((val < 0) & (val <= nmin)))
+    b = cfg.img_border
+    rr = jnp.arange(h)
+    cc = jnp.arange(w)
+    border = ((rr >= b) & (rr < h - b))[:, None] & (
+        (cc >= b) & (cc < w - b))[None, :]
+    return mask & border[None]
+
+
+def top_candidates(dog: jnp.ndarray, cap: int,
+                   cfg: SIFTConfig = DEFAULT_CONFIG
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                              jnp.ndarray]:
+    """Surface up to `cap` NMS candidates ranked by |DoG response|.
+
+    Returns (layer, r, c, valid), each (cap,). layer is the absolute
+    DoG layer index (1..nL).
+    """
+    nl = cfg.n_octave_layers
+    h, w = dog.shape[1], dog.shape[2]
+    mask = extrema_mask(dog, cfg)
+    score = jnp.where(mask, jnp.abs(dog[1:1 + nl]), -1.0).reshape(-1)
+    vals, idx = jax.lax.top_k(score, cap)
+    layer = idx // (h * w) + 1
+    rem = idx % (h * w)
+    r = rem // w
+    c = rem % w
+    valid = vals > 0.0
+    return (layer.astype(jnp.int32), r.astype(jnp.int32),
+            c.astype(jnp.int32), valid)

@@ -1,0 +1,107 @@
+"""Orientation assignment (reference C8c).
+
+Functional twin of calcOrientationHist + the peak-expansion loop
+(src/sift.cpp:389-458, 519-541): 36-bin gradient-orientation
+histogram in a radius cvRound(4.5*scl_octv) window, Gaussian-weighted
+with sigma 1.5*scl_octv, circularly smoothed by (1,4,6,4,1)/16; every
+local max >= 0.8*globalmax spawns an oriented keypoint with parabolic
+sub-bin interpolation.
+
+TPU-first restructuring: the radius is data-dependent, so each
+keypoint gathers a fixed max-radius patch (one dynamic_slice from a
+pre-padded octave stack — no scatter/gather loops) and masks samples
+outside its true radius/image interior. Histogram accumulation is 36
+masked reductions (VPU-fused), not scatter. Peak expansion emits a
+fixed number of top peaks per keypoint (cfg.max_ori_peaks) instead of
+an unbounded vector — peaks beyond that are vanishingly rare with the
+0.8 ratio + strict-local-max rule.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sift_tpu.config import SIFTConfig, DEFAULT_CONFIG
+from sift_tpu.ops.mathutil import fast_atan2_deg, cv_round
+
+_FLT_EPS = float(np.float32(1.1920929e-07))
+
+
+def orientation_peaks(gauss: jnp.ndarray,
+                      layer: jnp.ndarray, r: jnp.ndarray, c: jnp.ndarray,
+                      scl_octv: jnp.ndarray, valid: jnp.ndarray,
+                      cfg: SIFTConfig = DEFAULT_CONFIG
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compute up to max_ori_peaks orientations per refined keypoint.
+
+    gauss: (S, H, W) Gaussian stack of one octave.
+    layer/r/c/scl_octv/valid: (N,) refined keypoints (octave space).
+    Returns (angles (N, K) degrees, peak_valid (N, K)).
+    """
+    n = cfg.ori_hist_bins
+    k_peaks = cfg.max_ori_peaks
+    rp = cfg.ori_patch_radius
+    h, w = gauss.shape[1], gauss.shape[2]
+    pad = rp + 1
+    padded = jnp.pad(gauss, ((0, 0), (pad, pad), (pad, pad)))
+
+    # static offset grids for the max patch
+    off = np.arange(-rp, rp + 1, dtype=np.int32)
+    ii = jnp.asarray(off)[:, None]          # (2rp+1, 1) row offsets
+    jj = jnp.asarray(off)[None, :]          # (1, 2rp+1) col offsets
+    r2_grid = (ii * ii + jj * jj).astype(jnp.float32)
+
+    def one(layer0, r0, c0, scl0, valid0):
+        # patch center lands at local index (rp+1, rp+1) == image (r0, c0)
+        patch = jax.lax.dynamic_slice(
+            padded, (layer0, r0, c0), (1, 2 * rp + 3, 2 * rp + 3))[0]
+        dx = patch[1:-1, 2:] - patch[1:-1, :-2]
+        dy = patch[:-2, 1:-1] - patch[2:, 1:-1]
+
+        radius = cv_round(cfg.ori_radius_fctr * scl0)
+        sigma = cfg.ori_sig_fctr * scl0
+        expf_scale = -1.0 / (2.0 * sigma * sigma)
+
+        yy = r0 + ii
+        xx = c0 + jj
+        m = ((jnp.abs(ii) <= radius) & (jnp.abs(jj) <= radius)
+             & (yy > 0) & (yy < h - 1) & (xx > 0) & (xx < w - 1))
+        wgt = jnp.exp(r2_grid * expf_scale)
+        mag = jnp.sqrt(dx * dx + dy * dy)
+        ori = fast_atan2_deg(dy, dx)
+        contrib = jnp.where(m, wgt * mag, 0.0)
+
+        bins = cv_round((n / 360.0) * ori)
+        bins = jnp.where(bins >= n, bins - n, bins)
+        bins = jnp.where(bins < 0, bins + n, bins)
+
+        # 36 masked reductions instead of scatter (TPU-friendly)
+        hist = jnp.stack([
+            jnp.sum(jnp.where(bins == b, contrib, 0.0)) for b in range(n)])
+
+        # circular (1,4,6,4,1)/16 smoothing (src/sift.cpp:440-451)
+        sm = (jnp.roll(hist, 2) + jnp.roll(hist, -2)) * (1.0 / 16.0) \
+            + (jnp.roll(hist, 1) + jnp.roll(hist, -1)) * (4.0 / 16.0) \
+            + hist * (6.0 / 16.0)
+
+        maxval = jnp.max(sm)
+        left = jnp.roll(sm, 1)
+        right = jnp.roll(sm, -1)
+        peak = (sm > left) & (sm > right) & (sm >= maxval * cfg.ori_peak_ratio)
+        pv, pj = jax.lax.top_k(jnp.where(peak, sm, -1.0), k_peaks)
+        hl = left[pj]
+        hr = right[pj]
+        bin_f = pj.astype(jnp.float32) + 0.5 * (hl - hr) / (
+            hl - 2.0 * sm[pj] + hr)
+        bin_f = jnp.where(bin_f < 0, bin_f + n,
+                          jnp.where(bin_f >= n, bin_f - n, bin_f))
+        angle = 360.0 - (360.0 / n) * bin_f
+        angle = jnp.where(jnp.abs(angle - 360.0) < _FLT_EPS, 0.0, angle)
+        ok = (pv > 0) & valid0
+        return angle, ok
+
+    return jax.vmap(one)(layer, r, c, scl_octv, valid)

@@ -1,0 +1,102 @@
+"""SIFT detect + describe facade (replaces reference C9, SIFT_NCL).
+
+Twin of SIFT_NCL (src/sift.cpp:59-91) restructured TPU-first: the
+whole pipeline is jittable with static shapes. Keypoints live in
+fixed-capacity masked batches (per-octave candidate caps, global
+max_keypoints), dynamic std::vector growth replaced by top_k
+compaction.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sift_tpu.config import SIFTConfig, DEFAULT_CONFIG
+from sift_tpu.types import Keypoints
+from sift_tpu.ops import pyramid as pyr
+from sift_tpu.ops import extrema as ext
+from sift_tpu.ops import refine as ref
+from sift_tpu.ops import orientation as ori
+from sift_tpu.ops import descriptor as desc_mod
+
+
+def detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
+                  cap: int, cfg: SIFTConfig = DEFAULT_CONFIG) -> Keypoints:
+    """Detect, refine and orient keypoints on one octave.
+
+    Returns a Keypoints batch of capacity cap * cfg.max_ori_peaks,
+    compacted down to cap slots ranked by (valid, response).
+    """
+    layer0, r0, c0, valid0 = ext.top_candidates(dog, cap, cfg)
+    rf = ref.refine_candidates(dog, layer0, r0, c0, valid0, cfg)
+
+    nl = cfg.n_octave_layers
+    lay_f = rf.layer.astype(jnp.float32)
+    scl_octv = cfg.sigma * jnp.exp2((lay_f + rf.xi) / nl)
+    size = scl_octv * (1 << octave) * 2.0           # src/sift.cpp:384
+    angles, ok = ori.orientation_peaks(
+        gauss, rf.layer, rf.r, rf.c, scl_octv, rf.valid, cfg)
+
+    k = cfg.max_ori_peaks
+    scale = float(1 << octave)
+
+    def tile(a):
+        return jnp.repeat(a, k, axis=0)
+
+    kp = Keypoints(
+        x=tile((rf.c.astype(jnp.float32) + rf.xc) * scale),
+        y=tile((rf.r.astype(jnp.float32) + rf.xr) * scale),
+        size=tile(size),
+        angle=angles.reshape(-1),
+        response=tile(jnp.abs(rf.contr)),
+        octave=jnp.full((cap * k,), octave, jnp.int32),
+        layer=tile(rf.layer),
+        r=tile(rf.r),
+        c=tile(rf.c),
+        valid=ok.reshape(-1),
+    )
+    # compact cap*k -> cap slots (ranked valid first, then response)
+    score = jnp.where(kp.valid, kp.response + 10.0, -1.0)
+    _, idx = jax.lax.top_k(score, cap)
+    return kp.gather(idx)
+
+
+def detect(img: jnp.ndarray, cfg: SIFTConfig = DEFAULT_CONFIG
+           ) -> Tuple[Keypoints, List[jnp.ndarray]]:
+    """Full detection: pyramid + extrema + refine + orientation.
+
+    Returns (keypoints over all octaves, gaussian octave stacks).
+    """
+    octs = pyr.build_gaussian_pyramid(img, cfg)
+    dogs = pyr.build_dog_pyramid(octs)
+    parts = []
+    for o in range(cfg.n_octaves):
+        parts.append(detect_octave(octs[o], dogs[o], o,
+                                   cfg.detect_caps[o], cfg))
+    return Keypoints.concatenate(tuple(parts)), octs
+
+
+def detect_and_compute(img: jnp.ndarray, cfg: SIFTConfig = DEFAULT_CONFIG
+                       ) -> Tuple[Keypoints, jnp.ndarray]:
+    """Twin of SIFT_NCL (src/sift.cpp:59-91): keypoints + descriptors.
+
+    Descriptors are computed per octave (keypoint batches stay aligned
+    with their octave's image stack), then concatenated; invalid slots
+    hold zero descriptors.
+    """
+    octs = pyr.build_gaussian_pyramid(img, cfg)
+    dogs = pyr.build_dog_pyramid(octs)
+    kp_parts = []
+    d_parts = []
+    start = 0
+    for o in range(cfg.n_octaves):
+        kp = detect_octave(octs[o], dogs[o], o, cfg.detect_caps[o], cfg)
+        d = desc_mod.descriptors_octave(octs[o], kp, cfg)
+        kp_parts.append(kp)
+        d_parts.append(d)
+        start += cfg.detect_caps[o]
+    return (Keypoints.concatenate(tuple(kp_parts)),
+            jnp.concatenate(d_parts, axis=0))

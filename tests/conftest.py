@@ -36,14 +36,18 @@ def small_image():
     rng = np.random.default_rng(42)
     h, w = 160, 200
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    img = 96.0 + 40.0 * np.sin(xx / 13.0) * np.cos(yy / 17.0)
+    img = 110.0 + 35.0 * np.sin(xx / 13.0) * np.cos(yy / 17.0)
     # scatter gaussian blobs of varying scale/polarity
-    for k in range(24):
-        cy, cx = rng.uniform(15, h - 15), rng.uniform(15, w - 15)
-        s = rng.uniform(1.5, 6.0)
-        a = rng.uniform(40, 110) * (1 if k % 2 == 0 else -1)
+    for k in range(60):
+        cy, cx = rng.uniform(10, h - 10), rng.uniform(10, w - 10)
+        s = rng.uniform(1.2, 7.0)
+        a = rng.uniform(50, 120) * (1 if k % 2 == 0 else -1)
         img += a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
-    img += rng.normal(0, 2.0, (h, w))
+    # blocky texture to add corners/edges at several scales
+    from scipy import ndimage
+    blocks = rng.uniform(-60, 60, (h // 8, w // 8))
+    img += ndimage.zoom(blocks, 8, order=0)[:h, :w]
+    img += rng.normal(0, 3.0, (h, w))
     return np.clip(img, 0, 255).astype(np.float32)
 
 
