@@ -64,7 +64,11 @@ def top_candidates(dog: jnp.ndarray, cap: int,
     h, w = dog.shape[1], dog.shape[2]
     mask = extrema_mask(dog, cfg)
     score = jnp.where(mask, jnp.abs(dog[1:1 + nl]), -1.0).reshape(-1)
-    vals, idx = jax.lax.top_k(score, cap)
+    k = min(cap, score.shape[0])
+    vals, idx = jax.lax.top_k(score, k)
+    if k < cap:  # tiny octave: pad back up to the static cap
+        vals = jnp.pad(vals, (0, cap - k), constant_values=-1.0)
+        idx = jnp.pad(idx, (0, cap - k))
     layer = idx // (h * w) + 1
     rem = idx % (h * w)
     r = rem // w

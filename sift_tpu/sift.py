@@ -9,6 +9,7 @@ compaction.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Tuple
 
 import jax
@@ -64,6 +65,7 @@ def detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
     return kp.gather(idx)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def detect(img: jnp.ndarray, cfg: SIFTConfig = DEFAULT_CONFIG
            ) -> Tuple[Keypoints, List[jnp.ndarray]]:
     """Full detection: pyramid + extrema + refine + orientation.
@@ -79,6 +81,7 @@ def detect(img: jnp.ndarray, cfg: SIFTConfig = DEFAULT_CONFIG
     return Keypoints.concatenate(tuple(parts)), octs
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def detect_and_compute(img: jnp.ndarray, cfg: SIFTConfig = DEFAULT_CONFIG
                        ) -> Tuple[Keypoints, jnp.ndarray]:
     """Twin of SIFT_NCL (src/sift.cpp:59-91): keypoints + descriptors.
