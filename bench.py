@@ -1,0 +1,104 @@
+"""Headline benchmark: detect+describe+match at 1080p, frames/s/chip.
+
+Prints ONE JSON line:
+  {"metric": "detect_describe_match_1080p", "value": <frames/s>,
+   "unit": "frames/s/chip", "vs_baseline": <x over reference CPU>}
+
+Baseline denominator: the reference C++ pipeline (canhld94/SIFT-GPU)
+measured on this machine at 1920x1080 — 10.28 s per frame for
+SIFT_NCL (pyramid+detect+describe; matching adds <1% at these
+keypoint counts). See BASELINE.md.
+
+Timing methodology (see memory: axon tunnel quirks):
+`jax.block_until_ready` does not actually wait through the remote TPU
+tunnel and identical calls may be memoized server-side, so we chain k
+pipeline iterations with device-side data dependence between them,
+pull one scalar to the host, and report the slope between k=1 and
+k=K (cancels the ~30 ms round-trip intercept).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_SECONDS_PER_FRAME_1080P = 10.28  # BASELINE.md, measured refsift
+
+
+def _enable_compile_cache() -> None:
+    import jax
+    cache = os.path.expanduser("~/.cache/sift_tpu_xla")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main() -> None:
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    from sift_tpu import sift
+    from sift_tpu.config import DEFAULT_CONFIG as CFG
+    from sift_tpu.ops import match as match_mod
+
+    # 1080p frame pair from the reference corpus (scene.jpg is
+    # 2048x1280); fall back to synthetic if decoding is unavailable.
+    try:
+        import cv2
+        big = cv2.imread("/root/reference/data/scene.jpg")
+        f0 = cv2.cvtColor(cv2.resize(big, (1920, 1080)),
+                          cv2.COLOR_RGB2GRAY).astype(np.float32)
+        f1 = cv2.cvtColor(cv2.resize(big[:, 200:], (1920, 1080)),
+                          cv2.COLOR_RGB2GRAY).astype(np.float32)
+    except Exception:
+        rng = np.random.default_rng(0)
+        f0 = (rng.random((1080, 1920)) * 255).astype(np.float32)
+        f1 = np.roll(f0, 37, axis=1)
+
+    f0 = jnp.asarray(f0)
+    f1 = jnp.asarray(f1)
+
+    def pair_step(a, b):
+        """One full pipeline: extract both frames + match."""
+        kp0, d0 = sift.detect_and_compute(a, CFG)
+        kp1, d1 = sift.detect_and_compute(b, CFG)
+        m = match_mod.match_ratio(d1, d0, q_valid=kp1.valid,
+                                  t_valid=kp0.valid,
+                                  ratio=CFG.match_ratio)
+        return jnp.sum(m.distance * m.good) + jnp.sum(kp0.x[:8])
+
+    def run_chain(k: int, seed: float) -> float:
+        t0 = time.perf_counter()
+        acc = jnp.float32(seed)
+        for _ in range(k):
+            # device-side dependence: next input perturbed by result
+            acc = pair_step(f0 + acc * 1e-9, f1 + acc * 1e-9)
+        float(np.asarray(acc))  # host pull forces the whole chain
+        return time.perf_counter() - t0
+
+    run_chain(1, 0.5)  # warm up compile for both shapes + matcher
+    t1 = min(run_chain(1, 0.7 + i * 0.01) for i in range(3))
+    k = 8
+    tk = min(run_chain(k, 0.9 + i * 0.01) for i in range(3))
+    sec_per_pair = max((tk - t1) / (k - 1), 1e-9)
+    frames_per_s = 2.0 / sec_per_pair
+
+    ref_fps = 1.0 / REF_SECONDS_PER_FRAME_1080P
+    result = {
+        "metric": "detect_describe_match_1080p",
+        "value": round(frames_per_s, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(frames_per_s / ref_fps, 2),
+    }
+    print(f"# backend={jax.default_backend()} "
+          f"sec_per_pair={sec_per_pair:.4f} t1={t1:.3f} tk={tk:.3f}",
+          file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from sift_tpu.geometry.linalg import smallest_eigvec
 
 
 class HomographyResult(NamedTuple):
@@ -103,8 +104,7 @@ def _dlt_masked(src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray
     a = jnp.concatenate([rows_u * mask[:, None].astype(x.dtype),
                          rows_v * mask[:, None].astype(x.dtype)], axis=0)
     ata = a.T @ a                                           # (9, 9)
-    _, vecs = jnp.linalg.eigh(ata)
-    hn = vecs[:, 0].reshape(3, 3)                           # smallest eig
+    hn = smallest_eigvec(ata).reshape(3, 3)
     h = jnp.linalg.solve(td, hn @ ts)                       # denormalize
     return h / jnp.where(jnp.abs(h[2, 2]) > 1e-12, h[2, 2], 1.0)
 

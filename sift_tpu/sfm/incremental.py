@@ -1,0 +1,286 @@
+"""Incremental structure-from-motion (BASELINE.json config 4).
+
+Host-orchestrated, device-computed: registration order and map growth
+are inherently sequential decisions, so a thin NumPy driver owns the
+bookkeeping (tracks, which views are registered, which tracks have
+points) while every numeric kernel — essential RANSAC, PnP RANSAC,
+triangulation, Schur/CG bundle adjustment — runs jitted on device
+with static shapes (fixed-capacity masked tables).
+
+Pipeline: feature tracks from pairwise matches (union-find) ->
+two-view initialization (essential + triangulate) -> repeated view
+registration (PnP on the 2D-3D overlap) + new-track triangulation ->
+periodic + final bundle adjustment.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from sift_tpu.geometry import lie
+from sift_tpu.geometry.epipolar import find_essential_ransac
+from sift_tpu.geometry.pnp import pnp_ransac
+from sift_tpu.geometry.triangulation import triangulate
+from sift_tpu.sfm.ba import BAProblem, bundle_adjust, reproj_rmse
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: Dict = {}
+
+    def find(self, a):
+        p = self.parent.setdefault(a, a)
+        while p != self.parent.setdefault(p, p):
+            self.parent[a] = self.parent[p]
+            a, p = p, self.parent[p]
+        return p
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[ra] = rb
+
+
+def build_tracks(n_frames: int,
+                 matches: Dict[Tuple[int, int], np.ndarray]
+                 ) -> List[Dict[int, int]]:
+    """Union-find feature tracks.
+
+    matches[(i, j)] is an (M, 2) int array of (kpt_i, kpt_j) pairs.
+    Returns a list of tracks, each {frame: kpt_index}; tracks with
+    conflicting observations (two kpts of one frame) are dropped.
+    """
+    uf = _UnionFind()
+    for (i, j), m in matches.items():
+        for a, b in np.asarray(m):
+            uf.union((i, int(a)), (j, int(b)))
+    groups: Dict = {}
+    for node in list(uf.parent):
+        groups.setdefault(uf.find(node), []).append(node)
+    tracks = []
+    for nodes in groups.values():
+        if len(nodes) < 2:
+            continue
+        track: Dict[int, int] = {}
+        ok = True
+        for f, k in nodes:
+            if f in track and track[f] != k:
+                ok = False      # merged-track conflict: discard
+                break
+            track[f] = k
+        if ok and len(track) >= 2:
+            tracks.append(track)
+    return tracks
+
+
+@dataclasses.dataclass
+class Reconstruction:
+    """Result of incremental SfM (NumPy, host-side)."""
+    cameras: np.ndarray          # (F, 6) [w|t], world->cam
+    registered: np.ndarray       # (F,) bool
+    points: np.ndarray           # (T, 3) one slot per track
+    has_point: np.ndarray        # (T,) bool
+    tracks: List[Dict[int, int]]
+    reproj_rmse: float
+
+
+def _ba_tables(tracks, kp_xy, cameras, registered, points, has_point,
+               obs_cap: Optional[int] = None):
+    """Flatten the current map into a static BAProblem."""
+    cam_idx, pt_idx, uv = [], [], []
+    live = np.where(has_point)[0]
+    remap = {int(t): i for i, t in enumerate(live)}
+    for ti in live:
+        for f, k in tracks[ti].items():
+            if registered[f]:
+                cam_idx.append(f)
+                pt_idx.append(remap[ti])
+                uv.append(kp_xy[f][k])
+    o = len(cam_idx)
+    cap = obs_cap or max(1 << int(np.ceil(np.log2(max(o, 2)))), 64)
+    pad = cap - o
+    mask = np.array([True] * o + [False] * pad)
+    prob = BAProblem(
+        cameras=jnp.asarray(cameras, jnp.float32),
+        points=jnp.asarray(points[live], jnp.float32),
+        cam_idx=jnp.asarray(np.array(cam_idx + [0] * pad, np.int32)),
+        pt_idx=jnp.asarray(np.array(pt_idx + [0] * pad, np.int32)),
+        uv=jnp.asarray(np.array(uv + [[0.0, 0.0]] * pad, np.float32)),
+        mask=jnp.asarray(mask),
+        fixed_cams=jnp.asarray(~registered))
+    return prob, live
+
+
+def _pose_rt(cam6):
+    r = np.asarray(lie.so3_exp(jnp.asarray(cam6[:3], jnp.float32)))
+    return r, np.asarray(cam6[3:], np.float64)
+
+
+def reconstruct(kp_xy: Sequence[np.ndarray],
+                matches: Dict[Tuple[int, int], np.ndarray],
+                init_pair: Optional[Tuple[int, int]] = None,
+                ransac_threshold: float = 2e-3,
+                ba_every: int = 3,
+                ba_iters: int = 12,
+                min_pnp_points: int = 12,
+                cap_pad: int = 256) -> Reconstruction:
+    """Run incremental SfM.
+
+    kp_xy: per-frame (N_f, 2) NORMALIZED keypoint coordinates.
+    matches: {(i, j): (M, 2) keypoint index pairs}, i < j.
+    """
+    n_frames = len(kp_xy)
+    tracks = build_tracks(n_frames, matches)
+    n_tracks = len(tracks)
+    cameras = np.zeros((n_frames, 6), np.float64)
+    registered = np.zeros(n_frames, bool)
+    points = np.zeros((n_tracks, 3), np.float64)
+    has_point = np.zeros(n_tracks, bool)
+
+    # pad two-view correspondences to a static capacity
+    def pad2(a, cap):
+        out = np.zeros((cap, a.shape[1]), np.float32)
+        out[:len(a)] = a
+        m = np.zeros(cap, bool)
+        m[:len(a)] = True
+        return out, m
+
+    # triangulate tracks between two registered frames; returns the
+    # number of accepted (cheirality-positive, finite) points
+    def tri_tracks(track_ids, fa, fb) -> int:
+        ra, ta = _pose_rt(cameras[fa])
+        rb, tb = _pose_rt(cameras[fb])
+        pa = np.stack([kp_xy[fa][tracks[t][fa]] for t in track_ids])
+        pb = np.stack([kp_xy[fb][tracks[t][fb]] for t in track_ids])
+        x = np.asarray(triangulate(
+            jnp.asarray(ra, jnp.float32), jnp.asarray(ta, jnp.float32),
+            jnp.asarray(rb, jnp.float32), jnp.asarray(tb, jnp.float32),
+            jnp.asarray(pa, jnp.float32), jnp.asarray(pb, jnp.float32)))
+        za = (x @ ra.T + ta)[:, 2]
+        zb = (x @ rb.T + tb)[:, 2]
+        good = (za > 1e-3) & (zb > 1e-3) & np.isfinite(x).all(axis=1)
+        n_new = 0
+        for t, xi, g in zip(track_ids, x, good):
+            if g:
+                points[t] = xi
+                has_point[t] = True
+                n_new += 1
+        return n_new
+
+    # --- initialization: try pairs by match count until one yields a
+    # well-conditioned baseline (near-pure-rotation pairs triangulate
+    # nothing and are rejected by cheirality) ---
+    candidates = ([init_pair] if init_pair is not None else
+                  sorted(matches, key=lambda k: -len(matches[k])))
+    init_done = False
+    for (i0, j0) in candidates:
+        m0 = np.asarray(matches[(i0, j0)])
+        if len(m0) < 16:
+            continue
+        cap = int(2 ** np.ceil(np.log2(max(len(m0), 16)))) * 2
+        p0, mask0 = pad2(kp_xy[i0][m0[:, 0]], cap)
+        p1, _ = pad2(kp_xy[j0][m0[:, 1]], cap)
+        res = find_essential_ransac(jnp.asarray(p0), jnp.asarray(p1),
+                                    valid=jnp.asarray(mask0),
+                                    threshold=ransac_threshold)
+        if not bool(np.asarray(res.ok)):
+            continue
+        cameras[j0, :3] = np.asarray(lie.so3_log(res.R))
+        cameras[j0, 3:] = np.asarray(res.t)
+        registered[i0] = registered[j0] = True
+        init_tracks = [t for t in range(n_tracks)
+                       if i0 in tracks[t] and j0 in tracks[t]]
+        n_ok = tri_tracks(init_tracks, i0, j0) if init_tracks else 0
+        if n_ok >= min_pnp_points:
+            init_done = True
+            break
+        # degenerate baseline: roll back and try the next pair
+        registered[i0] = registered[j0] = False
+        cameras[j0] = 0.0
+        points[:] = 0.0
+        has_point[:] = False
+    if not init_done:
+        raise RuntimeError(
+            "two-view initialization failed: no pair with a usable "
+            "baseline (all candidate pairs near-degenerate, e.g. pure "
+            "rotation, or too few matches)")
+
+    # --- incremental registration ---
+    n_since_ba = 0
+    while True:
+        # candidate view with largest 2D-3D overlap
+        best_f, best_overlap = -1, 0
+        overlaps: Dict[int, List[int]] = {}
+        for t in np.where(has_point)[0]:
+            for f in tracks[t]:
+                if not registered[f]:
+                    overlaps.setdefault(f, []).append(int(t))
+        for f, ts in overlaps.items():
+            if len(ts) > best_overlap:
+                best_f, best_overlap = f, len(ts)
+        if best_f < 0 or best_overlap < min_pnp_points:
+            break
+
+        ts = overlaps[best_f]
+        x3 = points[ts]
+        p2 = np.stack([kp_xy[best_f][tracks[t][best_f]] for t in ts])
+        cap = int(2 ** np.ceil(np.log2(max(len(ts), 16)))) * 2
+        x3p, maskp = pad2(x3, cap)
+        p2p, _ = pad2(p2, cap)
+        pres = pnp_ransac(jnp.asarray(x3p), jnp.asarray(p2p),
+                          valid=jnp.asarray(maskp),
+                          threshold=ransac_threshold)
+        if not bool(np.asarray(pres.ok)) or \
+                int(np.asarray(pres.n_inliers)) < min_pnp_points // 2:
+            # cannot register this view; mark to avoid an infinite loop
+            registered[best_f] = True
+            cameras[best_f] = np.nan
+            continue
+        registered[best_f] = True
+        cameras[best_f, :3] = np.asarray(lie.so3_log(pres.R))
+        cameras[best_f, 3:] = np.asarray(pres.t)
+
+        # triangulate new tracks now visible from >= 2 registered views
+        new_tracks = []
+        for t in range(n_tracks):
+            if has_point[t]:
+                continue
+            fs = [f for f in tracks[t]
+                  if registered[f] and np.isfinite(cameras[f]).all()]
+            if len(fs) >= 2:
+                new_tracks.append((t, fs[0], fs[-1]))
+        by_pair: Dict[Tuple[int, int], List[int]] = {}
+        for t, fa, fb in new_tracks:
+            by_pair.setdefault((fa, fb), []).append(t)
+        for (fa, fb), tl in by_pair.items():
+            tri_tracks(tl, fa, fb)
+
+        n_since_ba += 1
+        if n_since_ba >= ba_every and has_point.any():
+            n_since_ba = 0
+            prob, live = _ba_tables(tracks, kp_xy, cameras, registered,
+                                    points, has_point)
+            out = bundle_adjust(prob, iters=ba_iters, loss="cauchy",
+                                huber_delta=ransac_threshold)
+            cameras[:] = np.asarray(out.cameras)
+            points[live] = np.asarray(out.points)
+
+    # --- final BA ---
+    if not has_point.any():
+        raise RuntimeError("reconstruction has no 3-D points")
+    prob, live = _ba_tables(tracks, kp_xy, cameras, registered,
+                            points, has_point)
+    out = bundle_adjust(prob, iters=ba_iters * 2, loss="cauchy",
+                        huber_delta=ransac_threshold)
+    cameras[:] = np.asarray(out.cameras)
+    points[live] = np.asarray(out.points)
+    rmse = float(np.asarray(reproj_rmse(out)))
+
+    registered &= np.isfinite(cameras).all(axis=1)
+    return Reconstruction(cameras=cameras, registered=registered,
+                          points=points, has_point=has_point,
+                          tracks=tracks, reproj_rmse=rmse)

@@ -21,6 +21,13 @@ import jax  # noqa: E402
 # (before any computation) pins tests to the virtual-8-device CPU.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite compiles ~100 distinct XLA
+# programs; caching them across runs cuts wall time several-fold.
+_cache = os.path.expanduser("~/.cache/sift_tpu_xla_tests")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

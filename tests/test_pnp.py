@@ -1,0 +1,49 @@
+"""PnP RANSAC tests."""
+
+import numpy as np
+
+from sift_tpu.geometry import lie
+from sift_tpu.geometry.pnp import pnp_ransac
+
+
+def _case(rng, n=200, outlier_frac=0.3, noise=5e-4):
+    w = np.array([0.2, -0.1, 0.3])
+    r = np.asarray(lie.so3_exp(w))
+    t = np.array([0.4, -0.2, 0.5])
+    x = np.stack([rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
+                  rng.uniform(5, 10, n)], 1)
+    xc = x @ r.T + t
+    p = xc[:, :2] / xc[:, 2:3]
+    p = (p + rng.normal(0, noise, p.shape)).astype(np.float32)
+    n_out = int(n * outlier_frac)
+    idx = rng.choice(n, n_out, replace=False)
+    p[idx] += rng.uniform(0.05, 0.2, (n_out, 2))
+    is_in = np.ones(n, bool)
+    is_in[idx] = False
+    return r, t, x.astype(np.float32), p, is_in
+
+
+def test_pnp_recovers_pose(rng):
+    r_true, t_true, x, p, is_in = _case(rng)
+    res = pnp_ransac(x, p, threshold=2e-3)
+    assert bool(res.ok)
+    inl = np.asarray(res.inliers)
+    assert inl[is_in].mean() > 0.95
+    assert inl[~is_in].mean() < 0.05
+    r_err = np.asarray(lie.so3_log(np.asarray(res.R).T @ r_true))
+    assert np.linalg.norm(r_err) < np.deg2rad(0.5)
+    # z-translation is weakly constrained at depth ~5-10 with this
+    # noise (CRLB ~ noise * depth^2 / lateral spread ~ 0.01-0.02)
+    assert np.linalg.norm(np.asarray(res.t) - t_true) < 0.03
+
+
+def test_pnp_respects_validity(rng):
+    r_true, t_true, x, p, is_in = _case(rng, outlier_frac=0.0)
+    valid = np.ones(len(x), bool)
+    valid[150:] = False
+    p2 = p.copy()
+    p2[150:] = 10.0  # garbage in masked-out region
+    res = pnp_ransac(x, p2, valid=np.asarray(valid))
+    assert bool(res.ok)
+    assert not np.asarray(res.inliers)[150:].any()
+    assert np.linalg.norm(np.asarray(res.t) - t_true) < 5e-3
