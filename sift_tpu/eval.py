@@ -1,0 +1,178 @@
+"""Batch evaluation harness (BASELINE.json configs 2-3).
+
+Replaces the reference's eyeball-the-drawMatches QA (SURVEY.md §4)
+with measured gates:
+
+  * synthetic-warp repeatability: each evaluated image is warped by a
+    KNOWN homography (rotation + scale + perspective); keypoint
+    repeatability and match precision are measured against the exact
+    ground truth.
+  * pair matching: object/scene pairs from the corpus through the full
+    detect+describe+match+RANSAC pipeline; reports keypoints, good
+    matches, inlier counts.
+
+Usage:
+    python -m sift_tpu.eval [--data /root/reference/data]
+                            [--out report.json] [--max-side 640]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Dict, List
+
+import numpy as np
+
+from sift_tpu import io as sio
+from sift_tpu import sift
+from sift_tpu.config import DEFAULT_CONFIG
+from sift_tpu.geometry import find_homography_ransac
+from sift_tpu.ops.match import match_ratio
+from sift_tpu.utils.metrics import keypoint_repeatability, match_recall
+
+# (scene, object) demo pairs present in the reference corpus
+PAIRS = [("scene.jpg", "book.jpg"),
+         ("base.jpg", "query.png"),
+         ("adidas.jpg", "query2.png")]
+
+# images probed with synthetic warps (rotation/scale/perspective)
+WARP_IMAGES = ["book.jpg", "bike.png", "airplane.jpg", "cat2.jpg"]
+
+
+def _load_gray(path: str, max_side: int) -> np.ndarray:
+    g = sio.read_image(path, resized=False)
+    h, w = g.shape
+    s = max(h, w) / max_side
+    if s > 1.0:
+        import cv2
+        g = cv2.resize(g, (int(round(w / s)), int(round(h / s)))
+                       ).astype(np.float32)
+    return g
+
+
+def _warp(gray: np.ndarray, angle_deg: float, scale: float,
+          persp: float, rng) -> tuple:
+    """Warp with a known homography; returns (warped, H_0to1)."""
+    import cv2
+    h, w = gray.shape
+    c = (w / 2.0, h / 2.0)
+    m = cv2.getRotationMatrix2D(c, angle_deg, scale)
+    hm = np.eye(3)
+    hm[:2] = m
+    hm[2, 0] = persp * rng.uniform(-1, 1) / w
+    hm[2, 1] = persp * rng.uniform(-1, 1) / h
+    warped = cv2.warpPerspective(gray, hm.astype(np.float64), (w, h))
+    return warped.astype(np.float32), hm
+
+
+def _extract(gray: np.ndarray):
+    kp, desc = sift.detect_and_compute(np.asarray(gray, np.float32))
+    valid = np.asarray(kp.valid)
+    xy = np.stack([np.asarray(kp.x), np.asarray(kp.y)], 1)
+    return kp, desc, xy[valid], valid
+
+
+def eval_repeatability(data_dir: str, max_side: int, rng) -> List[Dict]:
+    out = []
+    for name in WARP_IMAGES:
+        path = os.path.join(data_dir, name)
+        if not os.path.exists(path):
+            continue
+        gray = _load_gray(path, max_side)
+        kp0, d0, xy0, v0 = _extract(gray)
+        for (ang, sc, pp) in [(15, 1.0, 0.0), (45, 0.9, 0.0),
+                              (0, 0.7, 0.0), (10, 1.0, 0.15)]:
+            warped, hm = _warp(gray, ang, sc, pp, rng)
+            kp1, d1, xy1, v1 = _extract(warped)
+            rep = keypoint_repeatability(xy0, xy1, hm, tol=3.0)
+            # matching precision under ground-truth homography
+            m = match_ratio(d1, d0, q_valid=kp1.valid, t_valid=kp0.valid)
+            good = np.asarray(m.good)
+            ti = np.asarray(m.train_idx)
+            q_xy = np.stack([np.asarray(kp1.x), np.asarray(kp1.y)], 1)
+            t_xy = np.stack([np.asarray(kp0.x), np.asarray(kp0.y)], 1)
+            gi = np.where(good)[0]
+            correct = 0
+            if len(gi):
+                src = t_xy[ti[gi]]
+                ones = np.ones((len(src), 1))
+                proj = np.concatenate([src, ones], 1) @ hm.T
+                proj = proj[:, :2] / proj[:, 2:3]
+                correct = int((np.linalg.norm(proj - q_xy[gi], axis=1)
+                               < 3.0).sum())
+            out.append({
+                "image": name, "angle": ang, "scale": sc, "persp": pp,
+                "kpts": int(v0.sum()), "kpts_warped": int(v1.sum()),
+                "repeatability": round(rep, 4),
+                "matches": int(len(gi)),
+                "match_precision": round(correct / max(len(gi), 1), 4),
+            })
+    return out
+
+
+def eval_pairs(data_dir: str, max_side: int) -> List[Dict]:
+    out = []
+    for scene_name, obj_name in PAIRS:
+        sp = os.path.join(data_dir, scene_name)
+        op = os.path.join(data_dir, obj_name)
+        if not (os.path.exists(sp) and os.path.exists(op)):
+            continue
+        scene = _load_gray(sp, max_side)
+        obj = _load_gray(op, max_side)
+        t0 = time.perf_counter()
+        kps, ds, _, _ = _extract(scene)
+        kpo, do, _, _ = _extract(obj)
+        m = match_ratio(do, ds, q_valid=kpo.valid, t_valid=kps.valid)
+        src = np.stack([np.asarray(kpo.x), np.asarray(kpo.y)], 1)
+        ti = np.asarray(m.train_idx)
+        dst = np.stack([np.asarray(kps.x)[ti], np.asarray(kps.y)[ti]], 1)
+        hres = find_homography_ransac(src, dst,
+                                      valid=np.asarray(m.good))
+        dt = time.perf_counter() - t0
+        out.append({
+            "scene": scene_name, "object": obj_name,
+            "scene_kpts": int(np.asarray(kps.count())),
+            "object_kpts": int(np.asarray(kpo.count())),
+            "good_matches": int(np.asarray(m.good).sum()),
+            "inliers": int(np.asarray(hres.n_inliers)),
+            "found": bool(np.asarray(hres.ok)),
+            "wall_s": round(dt, 3),
+        })
+    return out
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="sift_tpu.eval")
+    ap.add_argument("--data", default="/root/reference/data")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--max-side", type=int, default=640)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    rng = np.random.default_rng(args.seed)
+    report = {
+        "repeatability": eval_repeatability(args.data, args.max_side, rng),
+        "pairs": eval_pairs(args.data, args.max_side),
+    }
+    reps = [r["repeatability"] for r in report["repeatability"]]
+    precs = [r["match_precision"] for r in report["repeatability"]]
+    report["summary"] = {
+        "mean_repeatability": round(float(np.mean(reps)), 4) if reps else None,
+        "mean_match_precision": round(float(np.mean(precs)), 4) if precs else None,
+        "pairs_found": sum(p["found"] for p in report["pairs"]),
+        "pairs_total": len(report["pairs"]),
+    }
+    text = json.dumps(report, indent=2)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+    print(text)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

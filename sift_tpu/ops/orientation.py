@@ -79,9 +79,12 @@ def orientation_peaks(gauss: jnp.ndarray,
         bins = jnp.where(bins >= n, bins - n, bins)
         bins = jnp.where(bins < 0, bins + n, bins)
 
-        # 36 masked reductions instead of scatter (TPU-friendly)
-        hist = jnp.stack([
-            jnp.sum(jnp.where(bins == b, contrib, 0.0)) for b in range(n)])
+        # one-hot matmul instead of scatter: (1, P) @ (P, n) on the
+        # MXU (vmapped over keypoints -> one batched matmul)
+        onehot = (bins.reshape(-1, 1) == jnp.arange(n)[None, :]
+                  ).astype(jnp.float32)
+        hist = contrib.reshape(1, -1) @ onehot
+        hist = hist[0]
 
         # circular (1,4,6,4,1)/16 smoothing (src/sift.cpp:440-451)
         sm = (jnp.roll(hist, 2) + jnp.roll(hist, -2)) * (1.0 / 16.0) \

@@ -15,13 +15,23 @@ decimated (src/sift.cpp:252-254); no initial upsampling
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from sift_tpu.config import SIFTConfig, DEFAULT_CONFIG
-from sift_tpu.ops.conv import gaussian_blur, gaussian_blur_multi
+from sift_tpu.ops.conv import gaussian_blur_multi
 from sift_tpu.ops.image import downsample_nearest_2x
+
+
+def _blur_multi(img: jnp.ndarray, sigmas: Sequence[float]) -> jnp.ndarray:
+    """Backend dispatch: fused Pallas kernel on TPU (~90x the XLA conv
+    path there), XLA convolution elsewhere. Same math bit-for-bit."""
+    if jax.default_backend() == "tpu":
+        from sift_tpu.ops.conv_pallas import gaussian_blur_multi_pallas
+        return gaussian_blur_multi_pallas(img, sigmas)
+    return gaussian_blur_multi(img, sigmas)
 
 
 def build_gaussian_pyramid(img: jnp.ndarray,
@@ -29,12 +39,13 @@ def build_gaussian_pyramid(img: jnp.ndarray,
                            ) -> List[jnp.ndarray]:
     """Returns n_octaves arrays of shape (n_scales, H_o, W_o)."""
     sig = cfg.scale_sigmas()
-    base = gaussian_blur(img.astype(jnp.float32), cfg.init_blur_sigma)
+    base = _blur_multi(img.astype(jnp.float32),
+                       (cfg.init_blur_sigma,))[0]
     octaves: List[jnp.ndarray] = []
     for o in range(cfg.n_octaves):
         if o > 0:
             base = downsample_nearest_2x(octaves[o - 1][cfg.n_octave_layers])
-        layers = gaussian_blur_multi(base, sig[1:])          # (S-1, H, W)
+        layers = _blur_multi(base, sig[1:])                  # (S-1, H, W)
         octaves.append(jnp.concatenate([base[None], layers], axis=0))
     return octaves
 

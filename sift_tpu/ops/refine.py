@@ -7,6 +7,12 @@ time with an LU solve; we vmap a closed-form Cramer 3x3 solve over a
 fixed-capacity candidate batch with masked state — no data-dependent
 control flow, everything unrolled for XLA.
 
+TPU layout: instead of gathering a 3x3x3 cube per candidate per step
+(27-element gathers dominated the detect stage), the ten derivative
+fields the Newton step needs (gradient, Hessian entries, center value)
+are computed DENSELY over the octave once — pure fused shift-adds on
+the VPU — and each step gathers one 10-float row per candidate.
+
 Matching OpenCV's Matx::solve(DECOMP_LU) behavior on singular Hessians
 (solution := 0, which the reference then treats as converged), we map
 |det| ~ 0 to a zero update.
@@ -44,8 +50,8 @@ class Refined(NamedTuple):
 def _solve3x3(h00, h01, h02, h11, h12, h22, b0, b1, b2):
     """Cramer solve of the symmetric 3x3 system H x = b.
 
-    Returns (x0, x1, x2, ok). On |det| ~ 0 returns zeros with ok=True,
-    mirroring OpenCV's singular-LU behavior the reference inherits.
+    On |det| ~ 0 returns zeros, mirroring OpenCV's singular-LU
+    behavior the reference inherits.
     """
     c00 = h11 * h22 - h12 * h12
     c01 = h02 * h12 - h01 * h22
@@ -62,25 +68,36 @@ def _solve3x3(h00, h01, h02, h11, h12, h22, b0, b1, b2):
     return x0, x1, x2
 
 
-def _cube_derivs(cube):
-    """First/second derivatives from a 3x3x3 DoG cube (center [1,1,1]).
+def derivative_fields(dog: jnp.ndarray) -> jnp.ndarray:
+    """Dense Newton-step inputs over the octave: (D*H*W, 10).
 
-    Layout: cube[0]=prev layer, cube[1]=current, cube[2]=next; spatial
-    center at (1,1). Scaling per src/sift.cpp:291-295.
+    Row layout: [d0 d1 d2 dxx dxy dxs dyy dys dss center], scaled per
+    src/sift.cpp:291-295. Values at array borders use zero padding but
+    are never read: candidates stay >= img_border from every edge.
     """
-    img = cube[1]
-    prev, nxt = cube[0], cube[2]
-    d0 = (img[1, 2] - img[1, 0]) * _DERIV_SCALE            # dD/dx
-    d1 = (img[2, 1] - img[0, 1]) * _DERIV_SCALE            # dD/dy
-    d2 = (nxt[1, 1] - prev[1, 1]) * _DERIV_SCALE           # dD/ds
-    v2 = img[1, 1] * 2.0
-    dxx = (img[1, 2] + img[1, 0] - v2) * _SECOND_DERIV_SCALE
-    dyy = (img[2, 1] + img[0, 1] - v2) * _SECOND_DERIV_SCALE
-    dss = (nxt[1, 1] + prev[1, 1] - v2) * _SECOND_DERIV_SCALE
-    dxy = (img[2, 2] - img[2, 0] - img[0, 2] + img[0, 0]) * _CROSS_DERIV_SCALE
-    dxs = (nxt[1, 2] - nxt[1, 0] - prev[1, 2] + prev[1, 0]) * _CROSS_DERIV_SCALE
-    dys = (nxt[2, 1] - nxt[0, 1] - prev[2, 1] + prev[0, 1]) * _CROSS_DERIV_SCALE
-    return (d0, d1, d2), (dxx, dxy, dxs, dyy, dys, dss), img[1, 1]
+    d, h, w = dog.shape
+    p = jnp.pad(dog, 1)
+
+    def val(dl, dr, dc):
+        return jax.lax.dynamic_slice(p, (1 + dl, 1 + dr, 1 + dc),
+                                     (d, h, w))
+
+    v2 = dog * 2.0
+    d0 = (val(0, 0, 1) - val(0, 0, -1)) * _DERIV_SCALE
+    d1 = (val(0, 1, 0) - val(0, -1, 0)) * _DERIV_SCALE
+    d2 = (val(1, 0, 0) - val(-1, 0, 0)) * _DERIV_SCALE
+    dxx = (val(0, 0, 1) + val(0, 0, -1) - v2) * _SECOND_DERIV_SCALE
+    dyy = (val(0, 1, 0) + val(0, -1, 0) - v2) * _SECOND_DERIV_SCALE
+    dss = (val(1, 0, 0) + val(-1, 0, 0) - v2) * _SECOND_DERIV_SCALE
+    dxy = (val(0, 1, 1) - val(0, 1, -1) - val(0, -1, 1)
+           + val(0, -1, -1)) * _CROSS_DERIV_SCALE
+    dxs = (val(1, 0, 1) - val(1, 0, -1) - val(-1, 0, 1)
+           + val(-1, 0, -1)) * _CROSS_DERIV_SCALE
+    dys = (val(1, 1, 0) - val(1, -1, 0) - val(-1, 1, 0)
+           + val(-1, -1, 0)) * _CROSS_DERIV_SCALE
+    f = jnp.stack([d0, d1, d2, dxx, dxy, dxs, dyy, dys, dss, dog],
+                  axis=-1)
+    return f.reshape(d * h * w, 10)
 
 
 def refine_candidates(dog: jnp.ndarray,
@@ -91,63 +108,67 @@ def refine_candidates(dog: jnp.ndarray,
     h, w = dog.shape[1], dog.shape[2]
     nl = cfg.n_octave_layers
     border = cfg.img_border
+    fields = derivative_fields(dog)
 
-    def one(layer0, r0, c0, valid0):
-        def gather_cube(l, rr, cc):
-            return jax.lax.dynamic_slice(dog, (l - 1, rr - 1, cc - 1),
-                                         (3, 3, 3))
+    def fetch(lay, rr, cc):
+        """(N,) coords -> per-candidate derivative rows (N, 10)."""
+        idx = (lay * h + rr) * w + cc
+        return fields[idx]
 
-        lay, rr, cc = layer0, r0, c0
-        xi = jnp.float32(0.0)
-        xr = jnp.float32(0.0)
-        xc = jnp.float32(0.0)
-        converged = jnp.bool_(False)
-        alive = valid0
+    lay, rr, cc = layer, r, c
+    n = layer.shape[0]
+    xi = jnp.zeros((n,), jnp.float32)
+    xr = jnp.zeros((n,), jnp.float32)
+    xc = jnp.zeros((n,), jnp.float32)
+    converged = jnp.zeros((n,), bool)
+    alive = valid
 
-        # unrolled SIFT_MAX_INTERP_STEPS Newton steps (src/sift.cpp:300-348)
-        for _ in range(cfg.max_interp_steps):
-            active = alive & ~converged
-            cube = gather_cube(lay, rr, cc)
-            (d0, d1, d2), (dxx, dxy, dxs, dyy, dys, dss), _ = _cube_derivs(cube)
-            x0, x1, x2 = _solve3x3(dxx, dxy, dxs, dyy, dys, dss, d0, d1, d2)
-            nxi, nxr, nxc = -x2, -x1, -x0
-            finite = (jnp.isfinite(nxi) & jnp.isfinite(nxr)
-                      & jnp.isfinite(nxc))
-            conv_now = ((jnp.abs(nxi) < 0.5) & (jnp.abs(nxr) < 0.5)
-                        & (jnp.abs(nxc) < 0.5) & finite)
-            diverged = ~finite | (jnp.abs(nxi) > _DIVERGE_LIMIT) | \
-                (jnp.abs(nxr) > _DIVERGE_LIMIT) | (jnp.abs(nxc) > _DIVERGE_LIMIT)
-            # update stored offsets whenever this step ran
-            xi = jnp.where(active, nxi, xi)
-            xr = jnp.where(active, nxr, xr)
-            xc = jnp.where(active, nxc, xc)
-            move = active & ~conv_now & ~diverged
-            nlay = lay + jnp.where(move, cv_round(nxi), 0)
-            nr = rr + jnp.where(move, cv_round(nxr), 0)
-            nc = cc + jnp.where(move, cv_round(nxc), 0)
-            oob = ((nlay < 1) | (nlay > nl)
-                   | (nc < border) | (nc >= w - border)
-                   | (nr < border) | (nr >= h - border))
-            alive = alive & ~(active & (diverged | (move & oob)))
-            converged = converged | (active & conv_now)
-            safe = ~oob
-            lay = jnp.where(move & safe, nlay, lay)
-            rr = jnp.where(move & safe, nr, rr)
-            cc = jnp.where(move & safe, nc, cc)
+    # unrolled SIFT_MAX_INTERP_STEPS Newton steps (src/sift.cpp:300-348)
+    for _ in range(cfg.max_interp_steps):
+        active = alive & ~converged
+        g = fetch(lay, rr, cc)
+        d0, d1, d2 = g[:, 0], g[:, 1], g[:, 2]
+        dxx, dxy, dxs = g[:, 3], g[:, 4], g[:, 5]
+        dyy, dys, dss = g[:, 6], g[:, 7], g[:, 8]
+        x0, x1, x2 = _solve3x3(dxx, dxy, dxs, dyy, dys, dss, d0, d1, d2)
+        nxi, nxr, nxc = -x2, -x1, -x0
+        finite = (jnp.isfinite(nxi) & jnp.isfinite(nxr)
+                  & jnp.isfinite(nxc))
+        conv_now = ((jnp.abs(nxi) < 0.5) & (jnp.abs(nxr) < 0.5)
+                    & (jnp.abs(nxc) < 0.5) & finite)
+        diverged = ~finite | (jnp.abs(nxi) > _DIVERGE_LIMIT) | \
+            (jnp.abs(nxr) > _DIVERGE_LIMIT) | (jnp.abs(nxc) > _DIVERGE_LIMIT)
+        # update stored offsets whenever this step ran
+        xi = jnp.where(active, nxi, xi)
+        xr = jnp.where(active, nxr, xr)
+        xc = jnp.where(active, nxc, xc)
+        move = active & ~conv_now & ~diverged
+        nlay = lay + jnp.where(move, cv_round(nxi), 0)
+        nr = rr + jnp.where(move, cv_round(nxr), 0)
+        nc = cc + jnp.where(move, cv_round(nxc), 0)
+        oob = ((nlay < 1) | (nlay > nl)
+               | (nc < border) | (nc >= w - border)
+               | (nr < border) | (nr >= h - border))
+        alive = alive & ~(active & (diverged | (move & oob)))
+        converged = converged | (active & conv_now)
+        safe = ~oob
+        lay = jnp.where(move & safe, nlay, lay)
+        rr = jnp.where(move & safe, nr, rr)
+        cc = jnp.where(move & safe, nc, cc)
 
-        alive = alive & converged  # non-convergence rejects (sift.cpp:351)
+    alive = alive & converged  # non-convergence rejects (sift.cpp:351)
 
-        # final contrast + edge tests at the converged location
-        cube = gather_cube(lay, rr, cc)
-        (d0, d1, d2), (dxx, dxy, dxs, dyy, dys, dss), center = \
-            _cube_derivs(cube)
-        t = d0 * xc + d1 * xr + d2 * xi
-        contr = center * _IMG_SCALE + t * 0.5
-        alive = alive & (jnp.abs(contr) * nl >= cfg.contrast_threshold)
-        tr = dxx + dyy
-        det = dxx * dyy - dxy * dxy
-        e = cfg.edge_threshold
-        alive = alive & (det > 0) & (tr * tr * e < (e + 1) * (e + 1) * det)
-        return Refined(lay, rr, cc, xi, xr, xc, contr, alive)
-
-    return jax.vmap(one)(layer, r, c, valid)
+    # final contrast + edge tests at the converged location
+    g = fetch(lay, rr, cc)
+    d0, d1, d2 = g[:, 0], g[:, 1], g[:, 2]
+    dxx, dxy = g[:, 3], g[:, 4]
+    dyy = g[:, 6]
+    center = g[:, 9]
+    t = d0 * xc + d1 * xr + d2 * xi
+    contr = center * _IMG_SCALE + t * 0.5
+    alive = alive & (jnp.abs(contr) * nl >= cfg.contrast_threshold)
+    tr = dxx + dyy
+    det = dxx * dyy - dxy * dxy
+    e = cfg.edge_threshold
+    alive = alive & (det > 0) & (tr * tr * e < (e + 1) * (e + 1) * det)
+    return Refined(lay, rr, cc, xi, xr, xc, contr, alive)

@@ -1,0 +1,69 @@
+"""Checkpoint/resume for SfM state (aux subsystem, SURVEY.md §5).
+
+The reference persists nothing (single-shot binary, no write calls);
+for long incremental reconstructions and restartable distributed BA we
+save the map (cameras/points/observations) and reload it to resume.
+Uses orbax-checkpoint when available, with a plain .npz fallback so
+checkpointing never becomes an import liability.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from sift_tpu.sfm.ba import BAProblem
+
+_FIELDS = ("cameras", "points", "cam_idx", "pt_idx", "uv", "mask",
+           "fixed_cams")
+
+
+def save_ba(path: str, prob: BAProblem, step: int = 0) -> str:
+    """Save a BA problem snapshot; returns the written path."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = {f: np.asarray(getattr(prob, f)) for f in _FIELDS}
+    arrays["step"] = np.asarray(step)
+    try:
+        import orbax.checkpoint as ocp
+        ckpt_path = os.path.abspath(f"{path}.orbax")
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(ckpt_path, arrays, force=True)
+        ckptr.wait_until_finished()
+        return ckpt_path
+    except Exception:
+        np.savez(path + ".npz", **arrays)
+        return path + ".npz"
+
+
+def load_ba(path: str) -> tuple[BAProblem, int]:
+    """Load a snapshot written by save_ba. Accepts either backend's
+    path (as returned by save_ba)."""
+    if path.endswith(".orbax") or os.path.isdir(path):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        arrays = ckptr.restore(os.path.abspath(path))
+    else:
+        with np.load(path) as z:
+            arrays = {k: z[k] for k in z.files}
+    step = int(np.asarray(arrays.pop("step")))
+    prob = BAProblem(**{f: jnp.asarray(arrays[f]) for f in _FIELDS})
+    return prob, step
+
+
+def latest(dirpath: str, prefix: str = "ba_") -> Optional[str]:
+    """Most recent checkpoint under dirpath (by step suffix)."""
+    if not os.path.isdir(dirpath):
+        return None
+    cands = [f for f in os.listdir(dirpath) if f.startswith(prefix)]
+    if not cands:
+        return None
+    def step_of(name: str) -> int:
+        stem = name.split(".")[0]
+        try:
+            return int(stem.rsplit("_", 1)[1])
+        except (IndexError, ValueError):
+            return -1
+    return os.path.join(dirpath, max(cands, key=step_of))

@@ -1,0 +1,26 @@
+"""Pallas blur kernel parity vs the XLA convolution path (interpret
+mode on CPU; the TPU path is exercised by bench/CLI)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sift_tpu.config import DEFAULT_CONFIG as CFG
+from sift_tpu.ops.conv import gaussian_blur_multi
+from sift_tpu.ops.conv_pallas import gaussian_blur_multi_pallas
+
+
+def test_pallas_blur_matches_conv(rng):
+    img = (rng.random((96, 120)) * 255).astype(np.float32)
+    sig = CFG.scale_sigmas()[1:]
+    a = np.asarray(gaussian_blur_multi(jnp.asarray(img), sig))
+    b = np.asarray(gaussian_blur_multi_pallas(jnp.asarray(img), sig))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-3)
+
+
+def test_pallas_blur_single_sigma(rng):
+    img = (rng.random((64, 64)) * 255).astype(np.float32)
+    a = np.asarray(gaussian_blur_multi(jnp.asarray(img),
+                                       (CFG.init_blur_sigma,)))
+    b = np.asarray(gaussian_blur_multi_pallas(jnp.asarray(img),
+                                              (CFG.init_blur_sigma,)))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-3)
