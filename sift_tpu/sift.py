@@ -65,6 +65,14 @@ def detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
     return kp.gather(idx)
 
 
+def _octave_usable(shape, cfg: SIFTConfig) -> bool:
+    """An octave participates only if the refinement/NMS windows fit
+    (the reference hardcodes 5 octaves and would read out of bounds on
+    tiny images; we emit empty batches instead, keeping output
+    capacity static)."""
+    return min(shape) >= max(2 * cfg.img_border + 3, 8)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def detect(img: jnp.ndarray, cfg: SIFTConfig = DEFAULT_CONFIG
            ) -> Tuple[Keypoints, List[jnp.ndarray]]:
@@ -76,8 +84,11 @@ def detect(img: jnp.ndarray, cfg: SIFTConfig = DEFAULT_CONFIG
     dogs = pyr.build_dog_pyramid(octs)
     parts = []
     for o in range(cfg.n_octaves):
-        parts.append(detect_octave(octs[o], dogs[o], o,
-                                   cfg.detect_caps[o], cfg))
+        if _octave_usable(octs[o].shape[1:], cfg):
+            parts.append(detect_octave(octs[o], dogs[o], o,
+                                       cfg.detect_caps[o], cfg))
+        else:
+            parts.append(Keypoints.zeros(cfg.detect_caps[o]))
     return Keypoints.concatenate(tuple(parts)), octs
 
 
@@ -94,12 +105,16 @@ def detect_and_compute(img: jnp.ndarray, cfg: SIFTConfig = DEFAULT_CONFIG
     dogs = pyr.build_dog_pyramid(octs)
     kp_parts = []
     d_parts = []
-    start = 0
     for o in range(cfg.n_octaves):
-        kp = detect_octave(octs[o], dogs[o], o, cfg.detect_caps[o], cfg)
-        d = desc_mod.descriptors_octave(octs[o], kp, cfg)
+        if _octave_usable(octs[o].shape[1:], cfg):
+            kp = detect_octave(octs[o], dogs[o], o,
+                               cfg.detect_caps[o], cfg)
+            d = desc_mod.descriptors_octave(octs[o], kp, cfg)
+        else:
+            kp = Keypoints.zeros(cfg.detect_caps[o])
+            d = jnp.zeros((cfg.detect_caps[o], cfg.descr_size),
+                          jnp.float32)
         kp_parts.append(kp)
         d_parts.append(d)
-        start += cfg.detect_caps[o]
     return (Keypoints.concatenate(tuple(kp_parts)),
             jnp.concatenate(d_parts, axis=0))

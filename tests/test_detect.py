@@ -92,3 +92,14 @@ def test_descriptors_match_oracle(oracle_result, jax_result):
     # typical inter-keypoint L1 distances are O(5-10)
     assert np.median(l1) < 0.05, float(np.median(l1))
     assert np.quantile(l1, 0.9) < 0.2, float(np.quantile(l1, 0.9))
+
+
+def test_tiny_image_does_not_crash():
+    """Images whose deep octaves shrink below the NMS/refinement
+    window must degrade gracefully (empty batches), not crash."""
+    rng = np.random.default_rng(1)
+    for hw in ((16, 16), (24, 40), (64, 48)):
+        img = (rng.random(hw) * 255).astype(np.float32)
+        kp, desc = jsift.detect_and_compute(img, CFG)
+        assert desc.shape == (sum(CFG.detect_caps), 128)
+        assert np.isfinite(np.asarray(desc)).all()
