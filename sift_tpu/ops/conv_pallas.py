@@ -8,9 +8,16 @@ shifts force per-vreg relayout networks that made Mosaic compile time
 blow up quadratically with image area. The horizontal pass reuses the
 same kernel on the transposed image (cheap XLA transposes between).
 
-All scales of an octave are produced by one pass pair from the shared
-base image (legal because the reference blurs each layer directly from
-the octave base, src/sift.cpp:241-258).
+The kernel is gridded over (scale, row-block) with the input slab
+(BH + 2w rows, incl. halo) DMA'd manually from HBM per instance:
+Mosaic compile time scales with the PER-INSTANCE array sizes, so
+blocking keeps compilation O(block) instead of O(image) (a whole-image
+unrolled variant took >30 min to compile at 1080p), and VMEM use stays
+bounded for arbitrarily large frames.
+
+All scales of an octave are produced from the shared base image
+(legal because the reference blurs each layer directly from the
+octave base, src/sift.cpp:241-258).
 
 Semantics identical to ops/conv.gaussian_blur_multi: truncated
 unnormalized kernels, zero padding, and the reference's getSubMatrix
@@ -31,14 +38,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sift_tpu.ops.conv import _stack_kernels, _zero_last_row_col
 
+_BH = 256   # output rows per grid instance
+
 
 def _interpret() -> bool:
     return (os.environ.get("SIFT_TPU_INTERPRET_PALLAS", "0") == "1"
             or jax.default_backend() != "tpu")
 
 
-def _make_vpass(kmat: np.ndarray, h: int, wd: int, s_in: int):
-    """Vertical-pass kernel: (s_in, h+2w, wd) -> (S, h, wd).
+def _make_vpass(kmat: np.ndarray, w: int, bh: int, wd: int, s_in: int):
+    """Vertical-pass kernel body for one (scale, row-block) instance.
 
     s_in == 1 broadcasts one base image to all S scale outputs (first
     pass); s_in == S blurs each scale plane with its own taps (second
@@ -46,19 +55,26 @@ def _make_vpass(kmat: np.ndarray, h: int, wd: int, s_in: int):
     """
     s, k = kmat.shape
     taps = [[float(kmat[si, di]) for di in range(k)] for si in range(s)]
+    slab_rows = -(-(bh + 2 * w) // 8) * 8   # DMA slices need 8-aligned rows
 
-    def kernel(pin_ref, out_ref):
-        pid = pl.program_id(0)
-        for si in range(s):
-            @pl.when(pid == si)
+    def kernel(pin_hbm, out_ref, slab_ref, sem):
+        si = pl.program_id(0)
+        rb = pl.program_id(1)
+        src = 0 if s_in == 1 else si
+        dma = pltpu.make_async_copy(
+            pin_hbm.at[src, pl.ds(rb * bh, slab_rows), :],
+            slab_ref, sem)
+        dma.start()
+        dma.wait()
+        for sidx in range(s):
+            @pl.when(si == sidx)
             def _():
-                src = 0 if s_in == 1 else si
                 first = True
                 for di in range(k):
-                    t = taps[si][di]
+                    t = taps[sidx][di]
                     if t == 0.0:
                         continue
-                    sl = pin_ref[src, di:di + h, :] * t
+                    sl = slab_ref[di:di + bh, :] * t
                     out_ref[0] = sl if first else out_ref[0] + sl
                     first = False
 
@@ -70,23 +86,35 @@ def _vpass(x: jnp.ndarray, kmat: np.ndarray, w: int,
     """(s_in, H, W) -> (S, H, W): per-scale vertical blur."""
     s = kmat.shape[0]
     s_in, h, wd = x.shape
-    pin = jnp.pad(x, ((0, 0), (w, w), (0, 0)))
-    kernel = _make_vpass(kmat, h, wd, s_in)
-    return pl.pallas_call(
+    bh = min(_BH, max(8, -(-h // 8) * 8))
+    nrb = pl.cdiv(h, bh)
+    hp = nrb * bh
+    slab_rows = -(-(bh + 2 * w) // 8) * 8
+    wp = -(-wd // 128) * 128    # DMA lane slices must be 128-aligned
+    # rows: w halo above; below: halo + block padding + DMA row
+    # alignment so the last block's slab stays in bounds
+    pad_below = (hp - h) + (slab_rows - bh)
+    pin = jnp.pad(x, ((0, 0), (w, pad_below), (0, wp - wd)))
+    kernel = _make_vpass(kmat, w, bh, wp, s_in)
+    out = pl.pallas_call(
         kernel,
-        grid=(s,),
-        out_shape=jax.ShapeDtypeStruct((s, h, wd), jnp.float32),
-        in_specs=[pl.BlockSpec((s_in, h + 2 * w, wd), lambda i: (0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, h, wd), lambda i: (i, 0, 0),
+        grid=(s, nrb),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, bh, wp), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((slab_rows, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=2 * s * h * wd * kmat.shape[1],
-            bytes_accessed=(s_in + s) * h * wd * 4, transcendentals=0),
+            flops=2 * s * hp * wp * kmat.shape[1],
+            bytes_accessed=(s_in + s) * hp * wp * 4, transcendentals=0),
         interpret=interpret,
-    )(x if w == 0 else pin)
+    )(pin)
+    return out[:, :h, :wd]
 
 
 @functools.partial(jax.jit, static_argnames=("sigmas", "interpret"))
