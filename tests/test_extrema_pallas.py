@@ -1,0 +1,29 @@
+"""Pallas extrema-score kernel parity vs the XLA mask (interpret)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sift_tpu.config import DEFAULT_CONFIG as CFG
+from sift_tpu.ops import pyramid as pyr
+from sift_tpu.ops import extrema as ext
+from sift_tpu.ops.extrema_pallas import extrema_scores_pallas
+
+
+def test_pallas_scores_match_mask(small_image):
+    octs = pyr.build_gaussian_pyramid(jnp.asarray(small_image), CFG)
+    dogs = pyr.build_dog_pyramid(octs)
+    nl = CFG.n_octave_layers
+    for o in (0, 1, 2):
+        mask = np.asarray(ext.extrema_mask(dogs[o], CFG))
+        want = np.where(mask, np.abs(np.asarray(dogs[o][1:1 + nl])), -1.0)
+        got = np.asarray(extrema_scores_pallas(dogs[o], CFG))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_two_stage_topk_exact(rng):
+    score = np.full(300_000, -1.0, np.float32)
+    hot = rng.choice(300_000, 900, replace=False)
+    score[hot] = rng.uniform(8, 200, 900).astype(np.float32)
+    v, i = ext._top_k_two_stage(jnp.asarray(score), 1024)
+    got = set(np.asarray(i)[np.asarray(v) > 0].tolist())
+    assert got == set(hot.tolist())
