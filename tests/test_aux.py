@@ -2,6 +2,7 @@
 profiling."""
 
 import numpy as np
+import numpy.random as _np_rng_mod
 import jax
 import jax.numpy as jnp
 import pytest
@@ -89,3 +90,13 @@ def test_stage_timer():
         t.sink(x)
     assert "a" in t.summary()
     assert t.report()
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def rng():
+    """Module-local deterministic rng: the session-wide rng made test
+    outcomes depend on which other modules ran first."""
+    return _np_rng_mod.default_rng(0)

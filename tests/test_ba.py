@@ -1,6 +1,7 @@
 """Bundle adjustment tests on synthetic multi-view rigs."""
 
 import numpy as np
+import numpy.random as _np_rng_mod
 import pytest
 import jax.numpy as jnp
 
@@ -120,3 +121,13 @@ def test_ba_sharded_matches_single(rng):
                                np.asarray(out_1.cameras),
                                rtol=5e-3, atol=5e-3)
     assert float(reproj_rmse(out_s)) < 1.5e-3
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def rng():
+    """Module-local deterministic rng: the session-wide rng made test
+    outcomes depend on which other modules ran first."""
+    return _np_rng_mod.default_rng(0)

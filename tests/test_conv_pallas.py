@@ -2,6 +2,7 @@
 mode on CPU; the TPU path is exercised by bench/CLI)."""
 
 import numpy as np
+import numpy.random as _np_rng_mod
 import jax.numpy as jnp
 
 from sift_tpu.config import DEFAULT_CONFIG as CFG
@@ -24,3 +25,13 @@ def test_pallas_blur_single_sigma(rng):
     b = np.asarray(gaussian_blur_multi_pallas(jnp.asarray(img),
                                               (CFG.init_blur_sigma,)))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-3)
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def rng():
+    """Module-local deterministic rng: the session-wide rng made test
+    outcomes depend on which other modules ran first."""
+    return _np_rng_mod.default_rng(0)

@@ -2,6 +2,7 @@
 triangulation, Lie utilities."""
 
 import numpy as np
+import numpy.random as _np_rng_mod
 import pytest
 
 from sift_tpu.geometry import lie
@@ -65,3 +66,13 @@ def test_triangulation_recovers_points(rng):
     err = np.asarray(reprojection_error(
         r_true.astype(np.float32), t_true.astype(np.float32), pts, p1))
     assert err.max() < 1e-4
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def rng():
+    """Module-local deterministic rng: the session-wide rng made test
+    outcomes depend on which other modules ran first."""
+    return _np_rng_mod.default_rng(0)

@@ -1,6 +1,7 @@
 """Pallas extrema-score kernel parity vs the XLA mask (interpret)."""
 
 import numpy as np
+import numpy.random as _np_rng_mod
 import jax.numpy as jnp
 
 from sift_tpu.config import DEFAULT_CONFIG as CFG
@@ -27,3 +28,13 @@ def test_two_stage_topk_exact(rng):
     v, i = ext._top_k_two_stage(jnp.asarray(score), 1024)
     got = set(np.asarray(i)[np.asarray(v) > 0].tolist())
     assert got == set(hot.tolist())
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def rng():
+    """Module-local deterministic rng: the session-wide rng made test
+    outcomes depend on which other modules ran first."""
+    return _np_rng_mod.default_rng(0)

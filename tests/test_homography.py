@@ -1,6 +1,7 @@
 """RANSAC homography tests vs ground truth and cv2.findHomography."""
 
 import numpy as np
+import numpy.random as _np_rng_mod
 import pytest
 
 from sift_tpu.geometry import (find_homography_ransac,
@@ -84,3 +85,13 @@ def test_perspective_transform_identity():
     pts = np.array([[1.0, 2.0], [3.0, 4.0]], np.float32)
     out = np.asarray(perspective_transform(pts, np.eye(3)))
     np.testing.assert_allclose(out, pts, atol=1e-6)
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def rng():
+    """Module-local deterministic rng: the session-wide rng made test
+    outcomes depend on which other modules ran first."""
+    return _np_rng_mod.default_rng(0)

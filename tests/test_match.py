@@ -2,6 +2,7 @@
 (BFMatcher NORM_L1 knnMatch k=2 + ratio 0.86, src/main.cpp:25-40)."""
 
 import numpy as np
+import numpy.random as _np_rng_mod
 import pytest
 
 from sift_tpu.oracle import cpu_sift as oracle
@@ -107,3 +108,13 @@ def test_end_to_end_match_recall(small_image):
                 break
     recall = hits / len(ref)
     assert recall >= 0.9, f"match recall {recall:.3f} over {len(ref)} ref"
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def rng():
+    """Module-local deterministic rng: the session-wide rng made test
+    outcomes depend on which other modules ran first."""
+    return _np_rng_mod.default_rng(0)

@@ -1,6 +1,7 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh."""
 
 import numpy as np
+import numpy.random as _np_rng_mod
 import pytest
 import jax
 import jax.numpy as jnp
@@ -88,3 +89,13 @@ def test_mesh_construction():
     m = make_mesh((4, 2))
     assert m.axis_names == ("data", "model")
     assert m.devices.shape == (4, 2)
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def rng():
+    """Module-local deterministic rng: the session-wide rng made test
+    outcomes depend on which other modules ran first."""
+    return _np_rng_mod.default_rng(0)

@@ -1,6 +1,7 @@
 """PnP RANSAC tests."""
 
 import numpy as np
+import numpy.random as _np_rng_mod
 
 from sift_tpu.geometry import lie
 from sift_tpu.geometry.pnp import pnp_ransac
@@ -47,3 +48,13 @@ def test_pnp_respects_validity(rng):
     assert bool(res.ok)
     assert not np.asarray(res.inliers)[150:].any()
     assert np.linalg.norm(np.asarray(res.t) - t_true) < 5e-3
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def rng():
+    """Module-local deterministic rng: the session-wide rng made test
+    outcomes depend on which other modules ran first."""
+    return _np_rng_mod.default_rng(0)

@@ -1,6 +1,7 @@
 """Pose-graph optimization: odometry drift corrected by loop closure."""
 
 import numpy as np
+import numpy.random as _np_rng_mod
 import jax.numpy as jnp
 
 from sift_tpu.geometry import lie
@@ -88,3 +89,13 @@ def test_masked_edges_ignored(rng):
                   jnp.asarray(fixed))
     out = optimize_pose_graph(g, iters=5)
     np.testing.assert_allclose(np.asarray(out.poses), poses, atol=1e-5)
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def rng():
+    """Module-local deterministic rng: the session-wide rng made test
+    outcomes depend on which other modules ran first."""
+    return _np_rng_mod.default_rng(0)

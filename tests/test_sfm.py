@@ -3,6 +3,7 @@ config 4): two-view init + PnP registration + triangulation + BA,
 evaluated by ATE after similarity alignment."""
 
 import numpy as np
+import numpy.random as _np_rng_mod
 import pytest
 
 from sift_tpu.geometry import lie
@@ -75,3 +76,13 @@ def test_umeyama_identity(rng):
     np.testing.assert_allclose(r, r_true, atol=1e-6)
     assert abs(s - 2.5) < 1e-6
     np.testing.assert_allclose(t, [1, 2, 3], atol=1e-6)
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def rng():
+    """Module-local deterministic rng: the session-wide rng made test
+    outcomes depend on which other modules ran first."""
+    return _np_rng_mod.default_rng(0)
