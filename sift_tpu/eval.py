@@ -32,12 +32,32 @@ from sift_tpu import sift
 from sift_tpu.config import DEFAULT_CONFIG
 from sift_tpu.geometry import find_homography_ransac
 from sift_tpu.ops.match import match_ratio
-from sift_tpu.utils.metrics import keypoint_repeatability, match_recall
+from sift_tpu.utils.metrics import (correspondence_recall,
+                                    keypoint_recall,
+                                    keypoint_repeatability)
 
 # (scene, object) demo pairs present in the reference corpus
 PAIRS = [("scene.jpg", "book.jpg"),
          ("base.jpg", "query.png"),
          ("adidas.jpg", "query2.png")]
+
+# golden dumps from the COMPILED reference (tools/ref_dump): the
+# >=0.95 keypoint/match recall acceptance gate is measured vs these
+GOLDEN = os.path.join(os.path.dirname(__file__), "..", "tests",
+                      "golden", "ref_dump.npz")
+
+# gates asserted by --gate (and the default CI artifact):
+# recall thresholds are the BASELINE.json north-star numbers
+GATES = {
+    "min_keypoint_recall": 0.95,
+    "min_match_recall": 0.95,
+    "min_mean_repeatability": 0.60,
+    "min_mean_match_precision": 0.85,
+    # adidas/query2 yields only 2 good matches for the REFERENCE
+    # itself (golden dump) — a homography (4 pts) is unfindable there
+    # for any faithful implementation, so the gate is 2 of 3 pairs
+    "min_pairs_found": 2,
+}
 
 # images probed with synthetic warps (rotation/scale/perspective)
 WARP_IMAGES = ["book.jpg", "bike.png", "airplane.jpg", "cat2.jpg"]
@@ -145,12 +165,84 @@ def eval_pairs(data_dir: str, max_side: int) -> List[Dict]:
     return out
 
 
+def _golden_gray(data_dir: str, source: str, resized: bool
+                 ) -> np.ndarray:
+    """Reproduce the exact gray input the reference dump consumed.
+
+    `name_960` sources are the invariance probes pre-resized to
+    960x960 on the COLOR image (exactly as tools/ref_dump did) before
+    the swapped-gray conversion (src/main.cpp:84 semantics).
+    """
+    if source.endswith("_960"):
+        import cv2
+        bgr = cv2.imread(os.path.join(data_dir, source[:-4] + ".jpg"))
+        bgr = cv2.resize(bgr, (960, 960))
+        return sio._gray_swapped_np(bgr)
+    return sio.read_image(os.path.join(data_dir, source),
+                          resized=resized)
+
+
+def eval_reference_recall(data_dir: str, golden_path: str = GOLDEN,
+                          pairs=None, tol: float = 2.0) -> List[Dict]:
+    """Keypoint + match recall vs the compiled reference's own output.
+
+    The golden npz (tools/ref_dump) holds the reference binary's
+    keypoints and ratio-tested good matches per demo pair; recall is
+    position-based (indices don't transfer between implementations).
+    This measures the BASELINE.json >=0.95 gate on its own terms.
+    """
+    import json as _json
+    z = np.load(golden_path)
+    meta = _json.loads(bytes(z["meta"]).decode())
+    out = []
+    for tag, m in meta.items():
+        if pairs is not None and tag not in pairs:
+            continue
+        scene = _golden_gray(data_dir, m["scene"], m["scene_resized"])
+        obj = _golden_gray(data_dir, m["object"], False)
+        kp_s, d_s, xy_s, _ = _extract(scene)
+        kp_o, d_o, xy_o, _ = _extract(obj)
+        ref_s = z[f"{tag}_kp_scene"]
+        ref_o = z[f"{tag}_kp_object"]
+        kr_s = keypoint_recall(ref_s[:, :2], xy_s, tol=tol)
+        kr_o = keypoint_recall(ref_o[:, :2], xy_o, tol=tol)
+        # our demo-semantics matches: query=object, train=scene
+        mm = match_ratio(d_o, d_s, q_valid=kp_o.valid,
+                         t_valid=kp_s.valid)
+        good = np.asarray(mm.good)
+        ti = np.asarray(mm.train_idx)
+        q_xy = np.stack([np.asarray(kp_o.x), np.asarray(kp_o.y)], 1)
+        t_xy = np.stack([np.asarray(kp_s.x), np.asarray(kp_s.y)], 1)
+        gi = np.where(good)[0]
+        refm = z[f"{tag}_matches"]
+        refm = refm[refm[:, 4] > 0]
+        mr = correspondence_recall(
+            ref_o[refm[:, 0].astype(int), :2],
+            ref_s[refm[:, 1].astype(int), :2],
+            q_xy[gi], t_xy[ti[gi]], tol=tol)
+        out.append({
+            "pair": tag,
+            "ref_scene_kpts": int(m["n_scene"]),
+            "ref_object_kpts": int(m["n_object"]),
+            "tpu_scene_kpts": len(xy_s), "tpu_object_kpts": len(xy_o),
+            "keypoint_recall_scene": round(kr_s, 4),
+            "keypoint_recall_object": round(kr_o, 4),
+            "ref_good_matches": int(m["n_good"]),
+            "tpu_good_matches": int(len(gi)),
+            "match_recall": round(mr, 4),
+        })
+    return out
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="sift_tpu.eval")
     ap.add_argument("--data", default="/root/reference/data")
     ap.add_argument("--out", default=None)
     ap.add_argument("--max-side", type=int, default=640)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--gate", action="store_true",
+                    help="exit nonzero if any GATES threshold fails")
+    ap.add_argument("--skip-recall", action="store_true")
     args = ap.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
@@ -158,6 +250,8 @@ def main(argv=None) -> int:
         "repeatability": eval_repeatability(args.data, args.max_side, rng),
         "pairs": eval_pairs(args.data, args.max_side),
     }
+    if not args.skip_recall and os.path.exists(GOLDEN):
+        report["reference_recall"] = eval_reference_recall(args.data)
     reps = [r["repeatability"] for r in report["repeatability"]]
     precs = [r["match_precision"] for r in report["repeatability"]]
     report["summary"] = {
@@ -166,11 +260,44 @@ def main(argv=None) -> int:
         "pairs_found": sum(p["found"] for p in report["pairs"]),
         "pairs_total": len(report["pairs"]),
     }
+    if "reference_recall" in report:
+        rr = report["reference_recall"]
+        krs = ([r["keypoint_recall_scene"] for r in rr]
+               + [r["keypoint_recall_object"] for r in rr])
+        # match recall weighted by reference match count (tiny pairs
+        # with 2 reference matches shouldn't dominate the mean)
+        w = np.array([r["ref_good_matches"] for r in rr], float)
+        mrs = np.array([r["match_recall"] for r in rr])
+        report["summary"]["min_keypoint_recall"] = round(min(krs), 4)
+        report["summary"]["mean_keypoint_recall"] = round(
+            float(np.mean(krs)), 4)
+        report["summary"]["match_recall"] = round(
+            float((w * mrs).sum() / w.sum()), 4)
+
+    s = report["summary"]
+    failures = []
+    if "reference_recall" in report:
+        if s["mean_keypoint_recall"] < GATES["min_keypoint_recall"]:
+            failures.append("keypoint_recall")
+        if s["match_recall"] < GATES["min_match_recall"]:
+            failures.append("match_recall")
+    if s["mean_repeatability"] is not None:
+        if s["mean_repeatability"] < GATES["min_mean_repeatability"]:
+            failures.append("repeatability")
+        if s["mean_match_precision"] < GATES["min_mean_match_precision"]:
+            failures.append("match_precision")
+    if s["pairs_found"] < min(GATES["min_pairs_found"], s["pairs_total"]):
+        failures.append("pairs_found")
+    report["summary"]["gates_failed"] = failures
+
     text = json.dumps(report, indent=2)
     if args.out:
         with open(args.out, "w") as f:
             f.write(text)
     print(text)
+    if args.gate and failures:
+        print(f"EVAL GATES FAILED: {failures}", file=sys.stderr)
+        return 1
     return 0
 
 

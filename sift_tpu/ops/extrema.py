@@ -58,7 +58,12 @@ def _top_k_two_stage(score: jnp.ndarray, cap: int,
     A single 4M-element top_k costs ~8 ms at 1080p (full sort); the
     two-stage form is ~3x faster and exact as long as no 4096-element
     block holds >128 candidates — NMS spacing makes that physically
-    implausible (measured real-frame max is 28 per 1920-px row).
+    implausible for real frames (measured real-frame max is 28 per
+    1920-px row), but degenerate inputs (plateaus admitted by the
+    reference's >=/<= extremum test, src/sift.cpp:493-511) can
+    saturate a block. A block is saturated iff its kb-th best value is
+    a real candidate (> 0); in that case lax.cond falls back to the
+    exact full top_k so no keypoint is ever silently dropped.
     """
     n = score.shape[0]
     if n <= 2 * blk or n <= cap:
@@ -69,11 +74,20 @@ def _top_k_two_stage(score: jnp.ndarray, cap: int,
     rows = s.reshape(-1, blk)
     kb = min(kb, cap)
     v1, i1 = jax.lax.top_k(rows, kb)
+    saturated = jnp.any(v1[:, -1] > 0.0)
     base = jnp.arange(rows.shape[0], dtype=jnp.int32)[:, None] * blk
     flat_idx = (i1 + base).reshape(-1)
     k2 = min(cap, flat_idx.shape[0])
-    v2, i2 = jax.lax.top_k(v1.reshape(-1), k2)
-    out_v, out_i = v2, flat_idx[i2]
+
+    def fast(_):
+        v2, i2 = jax.lax.top_k(v1.reshape(-1), k2)
+        return v2, flat_idx[i2]
+
+    def exact(_):
+        v2, i2 = jax.lax.top_k(s, k2)
+        return v2, i2.astype(jnp.int32)
+
+    out_v, out_i = jax.lax.cond(saturated, exact, fast, operand=None)
     if k2 < cap:    # small octave: fewer stage-1 slots than the cap
         out_v = jnp.pad(out_v, (0, cap - k2), constant_values=-1.0)
         out_i = jnp.pad(out_i, (0, cap - k2))

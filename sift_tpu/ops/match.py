@@ -111,8 +111,10 @@ def match_ratio(query: jnp.ndarray, train: jnp.ndarray,
     """knnMatch(k=2) + Lowe ratio test (src/main.cpp:25-40)."""
     r = knn2_l1(query, train, t_valid, impl=impl)
     good = r.d1 <= ratio * r.d2
-    # a query whose best hit is the sentinel row matched nothing real
-    good = good & (r.d1 < _SENTINEL)
+    # a query whose best hit is the sentinel row matched nothing real;
+    # and with <2 valid train rows d2 is the sentinel, so the ratio
+    # test would pass vacuously — BFMatcher k=2 finds no pair either
+    good = good & (r.d1 < _SENTINEL) & (r.d2 < _SENTINEL)
     if q_valid is not None:
         good = good & q_valid
     n = query.shape[0]

@@ -89,14 +89,24 @@ class Reconstruction:
 
 
 def _ba_tables(tracks, kp_xy, cameras, registered, points, has_point,
-               obs_cap: Optional[int] = None):
-    """Flatten the current map into a static BAProblem."""
+               obs_cap: Optional[int] = None,
+               anchor_frame: Optional[int] = None):
+    """Flatten the current map into a static BAProblem.
+
+    Only observations of registered cameras with finite parameters are
+    included (a camera whose registration failed must not contribute
+    NaN residuals). ``anchor_frame`` is additionally marked fixed to
+    pin the 6-dof gauge; without it no registered camera is fixed and
+    only LM damping regularizes the singular Schur system.
+    """
+    finite_cam = np.isfinite(cameras).all(axis=1)
+    usable = registered & finite_cam
     cam_idx, pt_idx, uv = [], [], []
     live = np.where(has_point)[0]
     remap = {int(t): i for i, t in enumerate(live)}
     for ti in live:
         for f, k in tracks[ti].items():
-            if registered[f]:
+            if usable[f]:
                 cam_idx.append(f)
                 pt_idx.append(remap[ti])
                 uv.append(kp_xy[f][k])
@@ -104,14 +114,21 @@ def _ba_tables(tracks, kp_xy, cameras, registered, points, has_point,
     cap = obs_cap or max(1 << int(np.ceil(np.log2(max(o, 2)))), 64)
     pad = cap - o
     mask = np.array([True] * o + [False] * pad)
+    fixed = ~usable
+    if anchor_frame is not None:
+        fixed = fixed.copy()
+        fixed[anchor_frame] = True
+    # non-finite (failed) cameras are fixed + observation-free, but
+    # zero their params so fixed-slot arithmetic stays NaN-free
+    safe_cameras = np.where(finite_cam[:, None], cameras, 0.0)
     prob = BAProblem(
-        cameras=jnp.asarray(cameras, jnp.float32),
+        cameras=jnp.asarray(safe_cameras, jnp.float32),
         points=jnp.asarray(points[live], jnp.float32),
         cam_idx=jnp.asarray(np.array(cam_idx + [0] * pad, np.int32)),
         pt_idx=jnp.asarray(np.array(pt_idx + [0] * pad, np.int32)),
         uv=jnp.asarray(np.array(uv + [[0.0, 0.0]] * pad, np.float32)),
         mask=jnp.asarray(mask),
-        fixed_cams=jnp.asarray(~registered))
+        fixed_cams=jnp.asarray(fixed))
     return prob, live
 
 
@@ -138,6 +155,7 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
     n_tracks = len(tracks)
     cameras = np.zeros((n_frames, 6), np.float64)
     registered = np.zeros(n_frames, bool)
+    failed = np.zeros(n_frames, bool)   # PnP-rejected views: never BA'd
     points = np.zeros((n_tracks, 3), np.float64)
     has_point = np.zeros(n_tracks, bool)
 
@@ -217,7 +235,7 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
         overlaps: Dict[int, List[int]] = {}
         for t in np.where(has_point)[0]:
             for f in tracks[t]:
-                if not registered[f]:
+                if not registered[f] and not failed[f]:
                     overlaps.setdefault(f, []).append(int(t))
         for f, ts in overlaps.items():
             if len(ts) > best_overlap:
@@ -236,9 +254,9 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
                           threshold=ransac_threshold)
         if not bool(np.asarray(pres.ok)) or \
                 int(np.asarray(pres.n_inliers)) < min_pnp_points // 2:
-            # cannot register this view; mark to avoid an infinite loop
-            registered[best_f] = True
-            cameras[best_f] = np.nan
+            # cannot register this view; blacklist it (NOT registered,
+            # so its observations never enter BA) to avoid re-trying
+            failed[best_f] = True
             continue
         registered[best_f] = True
         cameras[best_f, :3] = np.asarray(lie.so3_log(pres.R))
@@ -263,24 +281,24 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
         if n_since_ba >= ba_every and has_point.any():
             n_since_ba = 0
             prob, live = _ba_tables(tracks, kp_xy, cameras, registered,
-                                    points, has_point)
+                                    points, has_point, anchor_frame=i0)
             out = bundle_adjust(prob, iters=ba_iters, loss="cauchy",
                                 huber_delta=ransac_threshold)
-            cameras[:] = np.asarray(out.cameras)
+            cameras[registered] = np.asarray(out.cameras)[registered]
             points[live] = np.asarray(out.points)
 
     # --- final BA ---
     if not has_point.any():
         raise RuntimeError("reconstruction has no 3-D points")
     prob, live = _ba_tables(tracks, kp_xy, cameras, registered,
-                            points, has_point)
+                            points, has_point, anchor_frame=i0)
     out = bundle_adjust(prob, iters=ba_iters * 2, loss="cauchy",
                         huber_delta=ransac_threshold)
-    cameras[:] = np.asarray(out.cameras)
+    cameras[registered] = np.asarray(out.cameras)[registered]
     points[live] = np.asarray(out.points)
     rmse = float(np.asarray(reproj_rmse(out)))
 
-    registered &= np.isfinite(cameras).all(axis=1)
+    cameras[failed] = np.nan        # mark unregisterable views clearly
     return Reconstruction(cameras=cameras, registered=registered,
                           points=points, has_point=has_point,
                           tracks=tracks, reproj_rmse=rmse)

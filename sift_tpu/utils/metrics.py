@@ -23,6 +23,42 @@ def match_recall(pred_pairs, ref_pairs) -> float:
     return len(ref & got) / len(ref)
 
 
+def keypoint_recall(ref_xy: np.ndarray, pred_xy: np.ndarray,
+                    tol: float = 2.0) -> float:
+    """Fraction of reference keypoints with a predicted keypoint
+    within tol px (position-based: indices don't transfer between
+    implementations). The >=0.95 gate of BASELINE.json is measured
+    with this against the compiled reference's keypoints."""
+    ref = np.asarray(ref_xy, np.float32)
+    pred = np.asarray(pred_xy, np.float32)
+    if len(ref) == 0:
+        return 1.0
+    if len(pred) == 0:
+        return 0.0
+    d = np.linalg.norm(ref[:, None, :] - pred[None, :, :], axis=-1)
+    return float((d.min(axis=1) <= tol).mean())
+
+
+def correspondence_recall(ref_src: np.ndarray, ref_dst: np.ndarray,
+                          pred_src: np.ndarray, pred_dst: np.ndarray,
+                          tol: float = 2.0) -> float:
+    """Fraction of reference correspondences (src_i -> dst_i)
+    reproduced by some predicted correspondence with BOTH endpoints
+    within tol px. Match-recall gate vs the reference demo's
+    ratio-tested matches (src/main.cpp:25-40)."""
+    rs = np.asarray(ref_src, np.float32)
+    rd = np.asarray(ref_dst, np.float32)
+    if len(rs) == 0:
+        return 1.0
+    if len(pred_src) == 0:
+        return 0.0
+    ps = np.asarray(pred_src, np.float32)
+    pd = np.asarray(pred_dst, np.float32)
+    near_s = (np.linalg.norm(rs[:, None] - ps[None], axis=-1) <= tol)
+    near_d = (np.linalg.norm(rd[:, None] - pd[None], axis=-1) <= tol)
+    return float((near_s & near_d).any(axis=1).mean())
+
+
 def keypoint_repeatability(xy0: np.ndarray, xy1: np.ndarray,
                            h_0to1: np.ndarray, tol: float = 3.0
                            ) -> float:

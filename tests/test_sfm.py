@@ -67,6 +67,29 @@ def test_incremental_sfm_ate(rng):
     assert ate < 0.02, ate
 
 
+def test_incremental_sfm_pnp_failure_isolated(rng):
+    """A view whose PnP registration fails must be quarantined: its
+    observations stay out of BA (previously its NaN camera poisoned
+    every subsequent LM step into a silent no-op) and the rest of the
+    reconstruction still converges."""
+    cams_true, pts, kp_xy, matches = _synthetic_sequence(rng)
+    bad = len(kp_xy) - 1
+    # scramble the last frame's keypoint positions: its 2D-3D
+    # correspondences become garbage, so PnP finds no consistent pose
+    kp_xy = list(kp_xy)
+    kp_xy[bad] = rng.uniform(-1.0, 1.0, kp_xy[bad].shape).astype(
+        np.float32)
+    rec = reconstruct(kp_xy, matches, init_pair=(0, 1))
+    assert not rec.registered[bad]
+    assert np.isnan(rec.cameras[bad]).all()
+    assert rec.registered.sum() == len(kp_xy) - 1
+    assert np.isfinite(rec.reproj_rmse)
+    assert rec.reproj_rmse < 2e-3, rec.reproj_rmse
+    est_c = camera_centers(rec.cameras[rec.registered])
+    gt_c = camera_centers(cams_true[rec.registered])
+    assert ate_rmse(est_c, gt_c) < 0.02
+
+
 def test_umeyama_identity(rng):
     from sift_tpu.utils.metrics import umeyama_alignment
     src = rng.normal(0, 1, (50, 3))
