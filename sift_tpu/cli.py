@@ -97,6 +97,19 @@ def main(argv=None) -> int:
         det = detect_object(scene, obj, cfg=cfg, impl=args.impl)
         timer.sink(det.corners)
 
+    # cap-saturation counters: a full octave batch means out_caps may
+    # have truncated (reference emits unboundedly, src/sift.cpp:538)
+    from sift_tpu import sift as _sift
+    from sift_tpu.utils.logger import COUNTERS, get_logger
+    for name, kp in (("scene", det.scene_kp), ("object", det.object_kp)):
+        sat = np.asarray(_sift.octave_saturation(kp, cfg))
+        for o in np.where(sat)[0]:
+            COUNTERS.inc(f"out_cap_saturated/{name}/octave{o}")
+            get_logger("cli").warning(
+                "octave %d of %s hit out_caps[%d]=%d: weakest keypoints "
+                "may be truncated; raise SIFTConfig.out_caps",
+                o, name, o, cfg.out_caps[o])
+
     n_scene = int(np.asarray(det.scene_kp.count()))
     n_obj = int(np.asarray(det.object_kp.count()))
     n_good = int(np.asarray(det.matches.good).sum())

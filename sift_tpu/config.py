@@ -52,7 +52,15 @@ class SIFTConfig:
 
     # --- static-shape sizing (TPU-specific; no reference counterpart) ---
     # Max extremum candidates surfaced per octave (before refinement).
+    # Measured 1080p NMS survivor counts are (1664, 722, 265, 80, 30);
+    # truncation is |response|-ranked, so saturating a cap drops the
+    # weakest candidates first (and sift.octave_saturation flags it).
     detect_caps: Tuple[int, ...] = (2048, 1024, 512, 256, 128)
+    # Final per-octave keypoint/descriptor capacity after refinement +
+    # orientation expansion. Measured valid counts at 1080p are
+    # (685, 167, 63, 30, 21) — ~1.5-4x headroom here, and half the
+    # descriptor/matcher work vs using detect_caps as output caps.
+    out_caps: Tuple[int, ...] = (1024, 512, 256, 128, 128)
     # Max orientation peaks expanded per refined keypoint.
     max_ori_peaks: int = 4
     # Final global keypoint budget after cross-octave compaction.

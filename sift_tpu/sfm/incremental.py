@@ -88,9 +88,14 @@ class Reconstruction:
     reproj_rmse: float
 
 
+def _pow2(n: int, lo: int = 64) -> int:
+    return max(1 << int(np.ceil(np.log2(max(n, 2)))), lo)
+
+
 def _ba_tables(tracks, kp_xy, cameras, registered, points, has_point,
                obs_cap: Optional[int] = None,
-               anchor_frame: Optional[int] = None):
+               anchor_frame: Optional[int] = None,
+               free_frames: Optional[np.ndarray] = None):
     """Flatten the current map into a static BAProblem.
 
     Only observations of registered cameras with finite parameters are
@@ -98,11 +103,29 @@ def _ba_tables(tracks, kp_xy, cameras, registered, points, has_point,
     NaN residuals). ``anchor_frame`` is additionally marked fixed to
     pin the 6-dof gauge; without it no registered camera is fixed and
     only LM damping regularizes the singular Schur system.
+
+    ``free_frames`` (bool (F,)) restricts the problem to a LOCAL
+    window: only cameras in the window move, and only tracks observed
+    by a window camera enter the table (other cameras observing those
+    tracks stay as fixed anchors) — incremental cost stays bounded
+    by the window, not the map.
+
+    Capacities (observation count, live-point count) are padded to
+    powers of two so bundle_adjust compiles once per ladder step, not
+    once per call. Observation-less padded points receive bp=0 and
+    dp=0 in the LM step (sfm/ba.py) and are returned untouched.
     """
     finite_cam = np.isfinite(cameras).all(axis=1)
     usable = registered & finite_cam
+    live_all = np.where(has_point)[0]
+    if free_frames is not None:
+        in_window = np.array(
+            [any(free_frames[f] for f in tracks[t] if usable[f])
+             for t in live_all])
+        live = live_all[in_window] if in_window.size else live_all[:0]
+    else:
+        live = live_all
     cam_idx, pt_idx, uv = [], [], []
-    live = np.where(has_point)[0]
     remap = {int(t): i for i, t in enumerate(live)}
     for ti in live:
         for f, k in tracks[ti].items():
@@ -111,19 +134,26 @@ def _ba_tables(tracks, kp_xy, cameras, registered, points, has_point,
                 pt_idx.append(remap[ti])
                 uv.append(kp_xy[f][k])
     o = len(cam_idx)
-    cap = obs_cap or max(1 << int(np.ceil(np.log2(max(o, 2)))), 64)
+    cap = obs_cap or _pow2(o)
     pad = cap - o
     mask = np.array([True] * o + [False] * pad)
     fixed = ~usable
+    if free_frames is not None:
+        fixed = fixed | ~free_frames
     if anchor_frame is not None:
         fixed = fixed.copy()
         fixed[anchor_frame] = True
     # non-finite (failed) cameras are fixed + observation-free, but
     # zero their params so fixed-slot arithmetic stays NaN-free
     safe_cameras = np.where(finite_cam[:, None], cameras, 0.0)
+    pt_cap = _pow2(len(live), lo=32)
+    pts = np.zeros((pt_cap, 3), points.dtype)
+    pts[:len(live)] = points[live]
+    from sift_tpu.utils.logger import COUNTERS
+    COUNTERS.inc(f"ba_shape/{cap}x{pt_cap}")
     prob = BAProblem(
         cameras=jnp.asarray(safe_cameras, jnp.float32),
-        points=jnp.asarray(points[live], jnp.float32),
+        points=jnp.asarray(pts, jnp.float32),
         cam_idx=jnp.asarray(np.array(cam_idx + [0] * pad, np.int32)),
         pt_idx=jnp.asarray(np.array(pt_idx + [0] * pad, np.int32)),
         uv=jnp.asarray(np.array(uv + [[0.0, 0.0]] * pad, np.float32)),
@@ -144,11 +174,18 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
                 ba_every: int = 3,
                 ba_iters: int = 12,
                 min_pnp_points: int = 12,
-                cap_pad: int = 256) -> Reconstruction:
+                cap_pad: int = 256,
+                ba_window: Optional[int] = 8,
+                retriangulate_every: int = 2) -> Reconstruction:
     """Run incremental SfM.
 
     kp_xy: per-frame (N_f, 2) NORMALIZED keypoint coordinates.
     matches: {(i, j): (M, 2) keypoint index pairs}, i < j.
+    ba_window: periodic BA optimizes only the last `ba_window`
+        registered frames (plus their tracks) — bounded incremental
+        cost; None = global. The final BA is always global.
+    retriangulate_every: refresh live points from their widest-
+        baseline pair every N-th periodic BA (0 disables).
     """
     n_frames = len(kp_xy)
     tracks = build_tracks(n_frames, matches)
@@ -168,16 +205,23 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
         return out, m
 
     # triangulate tracks between two registered frames; returns the
-    # number of accepted (cheirality-positive, finite) points
+    # number of accepted (cheirality-positive, finite) points.
+    # Batches are padded to powers of two so `triangulate` compiles
+    # once per ladder step, not once per batch size.
     def tri_tracks(track_ids, fa, fb) -> int:
         ra, ta = _pose_rt(cameras[fa])
         rb, tb = _pose_rt(cameras[fb])
         pa = np.stack([kp_xy[fa][tracks[t][fa]] for t in track_ids])
         pb = np.stack([kp_xy[fb][tracks[t][fb]] for t in track_ids])
+        n = len(track_ids)
+        cap = _pow2(n, lo=16)
+        pa_p = np.zeros((cap, 2), np.float32)
+        pb_p = np.zeros((cap, 2), np.float32)
+        pa_p[:n], pb_p[:n] = pa, pb
         x = np.asarray(triangulate(
             jnp.asarray(ra, jnp.float32), jnp.asarray(ta, jnp.float32),
             jnp.asarray(rb, jnp.float32), jnp.asarray(tb, jnp.float32),
-            jnp.asarray(pa, jnp.float32), jnp.asarray(pb, jnp.float32)))
+            jnp.asarray(pa_p), jnp.asarray(pb_p)))[:n]
         za = (x @ ra.T + ta)[:, 2]
         zb = (x @ rb.T + tb)[:, 2]
         good = (za > 1e-3) & (zb > 1e-3) & np.isfinite(x).all(axis=1)
@@ -188,6 +232,32 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
                 has_point[t] = True
                 n_new += 1
         return n_new
+
+    def widest_pair(fs):
+        """Registered frame pair with the widest baseline (best
+        triangulation conditioning)."""
+        centers = {f: -_pose_rt(cameras[f])[0].T @ cameras[f, 3:]
+                   for f in fs}
+        best, bd = (fs[0], fs[-1]), -1.0
+        for i, fa in enumerate(fs):
+            for fb in fs[i + 1:]:
+                d = float(np.linalg.norm(centers[fa] - centers[fb]))
+                if d > bd:
+                    best, bd = (fa, fb), d
+        return best
+
+    def retriangulate():
+        """Refresh live points from their widest-baseline view pair:
+        early two-view triangulations improve as later registrations
+        widen each track's baseline."""
+        by_pair: Dict[Tuple[int, int], List[int]] = {}
+        for t in np.where(has_point)[0]:
+            fs = [f for f in tracks[t]
+                  if registered[f] and np.isfinite(cameras[f]).all()]
+            if len(fs) >= 2:
+                by_pair.setdefault(widest_pair(fs), []).append(int(t))
+        for (fa, fb), tl in by_pair.items():
+            tri_tracks(tl, fa, fb)
 
     # --- initialization: try pairs by match count until one yields a
     # well-conditioned baseline (near-pure-rotation pairs triangulate
@@ -229,6 +299,8 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
 
     # --- incremental registration ---
     n_since_ba = 0
+    n_bas = 0
+    reg_order: List[int] = [i0, j0]
     while True:
         # candidate view with largest 2D-3D overlap
         best_f, best_overlap = -1, 0
@@ -259,6 +331,7 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
             failed[best_f] = True
             continue
         registered[best_f] = True
+        reg_order.append(best_f)
         cameras[best_f, :3] = np.asarray(lie.so3_log(pres.R))
         cameras[best_f, 3:] = np.asarray(pres.t)
 
@@ -280,22 +353,32 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
         n_since_ba += 1
         if n_since_ba >= ba_every and has_point.any():
             n_since_ba = 0
+            n_bas += 1
+            if retriangulate_every and n_bas % retriangulate_every == 0:
+                retriangulate()
+            free = None
+            if ba_window is not None:
+                free = np.zeros(n_frames, bool)
+                free[reg_order[-ba_window:]] = True
             prob, live = _ba_tables(tracks, kp_xy, cameras, registered,
-                                    points, has_point, anchor_frame=i0)
+                                    points, has_point, anchor_frame=i0,
+                                    free_frames=free)
             out = bundle_adjust(prob, iters=ba_iters, loss="cauchy",
                                 huber_delta=ransac_threshold)
             cameras[registered] = np.asarray(out.cameras)[registered]
-            points[live] = np.asarray(out.points)
+            points[live] = np.asarray(out.points)[:len(live)]
 
-    # --- final BA ---
+    # --- final BA (always global) ---
     if not has_point.any():
         raise RuntimeError("reconstruction has no 3-D points")
+    if retriangulate_every:
+        retriangulate()
     prob, live = _ba_tables(tracks, kp_xy, cameras, registered,
                             points, has_point, anchor_frame=i0)
     out = bundle_adjust(prob, iters=ba_iters * 2, loss="cauchy",
                         huber_delta=ransac_threshold)
     cameras[registered] = np.asarray(out.cameras)[registered]
-    points[live] = np.asarray(out.points)
+    points[live] = np.asarray(out.points)[:len(live)]
     rmse = float(np.asarray(reproj_rmse(out)))
 
     cameras[failed] = np.nan        # mark unregisterable views clearly

@@ -25,12 +25,18 @@ from sift_tpu.ops import descriptor as desc_mod
 
 
 def detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
-                  cap: int, cfg: SIFTConfig = DEFAULT_CONFIG) -> Keypoints:
+                  cap: int, cfg: SIFTConfig = DEFAULT_CONFIG,
+                  out_cap: int = 0) -> Keypoints:
     """Detect, refine and orient keypoints on one octave.
 
-    Returns a Keypoints batch of capacity cap * cfg.max_ori_peaks,
-    compacted down to cap slots ranked by (valid, response).
+    `cap` bounds extremum candidates; the result is compacted down to
+    `out_cap` slots (default: cap) ranked by (valid, response) —
+    out_cap < cap halves descriptor/matcher work since measured valid
+    counts run far below candidate caps (config.py:out_caps). If every
+    output slot is valid the batch MAY be truncated; callers detect
+    that with `octave_saturation`.
     """
+    out_cap = out_cap or cap
     layer0, r0, c0, valid0 = ext.top_candidates(dog, cap, cfg)
     rf = ref.refine_candidates(dog, layer0, r0, c0, valid0, cfg)
 
@@ -59,9 +65,9 @@ def detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
         c=tile(rf.c),
         valid=ok.reshape(-1),
     )
-    # compact cap*k -> cap slots (ranked valid first, then response)
+    # compact cap*k -> out_cap slots (ranked valid first, then response)
     score = jnp.where(kp.valid, kp.response + 10.0, -1.0)
-    _, idx = jax.lax.top_k(score, cap)
+    _, idx = jax.lax.top_k(score, out_cap)
     return kp.gather(idx)
 
 
@@ -86,10 +92,29 @@ def detect(img: jnp.ndarray, cfg: SIFTConfig = DEFAULT_CONFIG
     for o in range(cfg.n_octaves):
         if _octave_usable(octs[o].shape[1:], cfg):
             parts.append(detect_octave(octs[o], dogs[o], o,
-                                       cfg.detect_caps[o], cfg))
+                                       cfg.detect_caps[o], cfg,
+                                       cfg.out_caps[o]))
         else:
-            parts.append(Keypoints.zeros(cfg.detect_caps[o]))
+            parts.append(Keypoints.zeros(cfg.out_caps[o]))
     return Keypoints.concatenate(tuple(parts)), octs
+
+
+def octave_saturation(kp: Keypoints, cfg: SIFTConfig = DEFAULT_CONFIG
+                      ) -> jnp.ndarray:
+    """(n_octaves,) bool: octave o's output batch is full.
+
+    A full batch means the out_caps[o] compaction MAY have dropped
+    valid keypoints (ranked by response, weakest first) — the TPU
+    analogue of the reference's unbounded std::vector emit
+    (src/sift.cpp:538). Callers should bump out_caps when this fires;
+    cli/eval surface it via utils.logger.COUNTERS."""
+    flags = []
+    start = 0
+    for o in range(cfg.n_octaves):
+        n = cfg.out_caps[o]
+        flags.append(jnp.all(kp.valid[start:start + n]))
+        start += n
+    return jnp.stack(flags)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -108,11 +133,12 @@ def detect_and_compute(img: jnp.ndarray, cfg: SIFTConfig = DEFAULT_CONFIG
     for o in range(cfg.n_octaves):
         if _octave_usable(octs[o].shape[1:], cfg):
             kp = detect_octave(octs[o], dogs[o], o,
-                               cfg.detect_caps[o], cfg)
+                               cfg.detect_caps[o], cfg,
+                               cfg.out_caps[o])
             d = desc_mod.descriptors_octave(octs[o], kp, cfg)
         else:
-            kp = Keypoints.zeros(cfg.detect_caps[o])
-            d = jnp.zeros((cfg.detect_caps[o], cfg.descr_size),
+            kp = Keypoints.zeros(cfg.out_caps[o])
+            d = jnp.zeros((cfg.out_caps[o], cfg.descr_size),
                           jnp.float32)
         kp_parts.append(kp)
         d_parts.append(d)

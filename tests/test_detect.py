@@ -101,5 +101,5 @@ def test_tiny_image_does_not_crash():
     for hw in ((16, 16), (24, 40), (64, 48)):
         img = (rng.random(hw) * 255).astype(np.float32)
         kp, desc = jsift.detect_and_compute(img, CFG)
-        assert desc.shape == (sum(CFG.detect_caps), 128)
+        assert desc.shape == (sum(CFG.out_caps), 128)
         assert np.isfinite(np.asarray(desc)).all()

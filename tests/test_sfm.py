@@ -90,6 +90,28 @@ def test_incremental_sfm_pnp_failure_isolated(rng):
     assert ate_rmse(est_c, gt_c) < 0.02
 
 
+def test_incremental_sfm_long_sequence_windowed(rng):
+    """20+-frame sequence through the windowed driver: local BA
+    windows + retriangulation + capacity-ladder padding. Gates: full
+    registration, ATE, and a bounded number of distinct BA shapes
+    (each distinct shape is one XLA compile — the ladder keeps that
+    logarithmic, not linear in frames)."""
+    from sift_tpu.utils.logger import COUNTERS
+    COUNTERS.reset()
+    cams_true, pts, kp_xy, matches = _synthetic_sequence(
+        rng, n_frames=22, n_pts=420, drop=0.45)
+    rec = reconstruct(kp_xy, matches, ba_window=6,
+                      retriangulate_every=2)
+    assert rec.registered.sum() == len(kp_xy), rec.registered
+    assert rec.reproj_rmse < 2e-3, rec.reproj_rmse
+    est_c = camera_centers(rec.cameras[rec.registered])
+    gt_c = camera_centers(cams_true[rec.registered])
+    ate = ate_rmse(est_c, gt_c)
+    assert ate < 0.02, ate
+    shapes = [k for k in COUNTERS.snapshot() if k.startswith("ba_shape/")]
+    assert 0 < len(shapes) <= 8, shapes
+
+
 def test_umeyama_identity(rng):
     from sift_tpu.utils.metrics import umeyama_alignment
     src = rng.normal(0, 1, (50, 3))
