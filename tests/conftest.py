@@ -6,24 +6,35 @@ Pallas kernels run with interpret=True on CPU.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("SIFT_TPU_INTERPRET_PALLAS", "1")
+# SIFT_TPU_HW_TESTS=1 opts into the on-hardware kernel-parity lane
+# (tests/test_tpu_hardware.py) on the real chip; everything else runs
+# on the virtual 8-device CPU.
+_HW = os.environ.get("SIFT_TPU_HW_TESTS") == "1"
+
+if not _HW:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ.setdefault("SIFT_TPU_INTERPRET_PALLAS", "1")
+else:
+    os.environ["SIFT_TPU_INTERPRET_PALLAS"] = "0"
 
 import jax  # noqa: E402
 
-# The container's sitecustomize force-registers the axon TPU plugin and
-# sets jax_platforms="axon,cpu" at interpreter start, overriding the
-# env var. Backends initialize lazily, so overriding the config here
-# (before any computation) pins tests to the virtual-8-device CPU.
-jax.config.update("jax_platforms", "cpu")
+if not _HW:
+    # The container's sitecustomize force-registers the axon TPU
+    # plugin and sets jax_platforms="axon,cpu" at interpreter start,
+    # overriding the env var. Backends initialize lazily, so
+    # overriding the config here (before any computation) pins tests
+    # to the virtual-8-device CPU.
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the suite compiles ~100 distinct XLA
 # programs; caching them across runs cuts wall time several-fold.
-_cache = os.path.expanduser("~/.cache/sift_tpu_xla_tests")
+_cache = os.path.expanduser(
+    "~/.cache/sift_tpu_xla" if _HW else "~/.cache/sift_tpu_xla_tests")
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
