@@ -67,6 +67,13 @@ class SIFTConfig:
     max_keypoints: int = 4096
     # Matcher ratio-test threshold (reference src/main.cpp:38).
     match_ratio: float = 0.86
+    # Materialize the descriptor trilinear one-hot (the pipeline's
+    # largest intermediate, ~1 GB/frame at f32) in bfloat16: halves
+    # its HBM traffic and uses native-bf16 MXU passes. Descriptor
+    # deviation stays ~1e-2 L1 (values are 0..1 weights); the recall
+    # gate (eval.py) validates match decisions end to end. False =
+    # bit-exact f32 mode (used by kernel-parity tests).
+    descr_rc_bf16: bool = True
 
     @property
     def n_scales(self) -> int:

@@ -123,11 +123,19 @@ def descriptors_octave(gauss: jnp.ndarray, kp: Keypoints,
         ow = ow * mag_f[:, None]
 
         rc = (rw[:, :, None] * cw[:, None, :]).reshape(-1, (d + 2) * (d + 2))
-        # HIGH (bf16x3 passes): 2.2x faster than HIGHEST on the MXU
-        # with max descriptor deviation 0.002 L1 (measured; distances
-        # are O(1-10), so matching decisions are unaffected)
-        hist = jnp.einsum("pk,po->ko", rc, ow,
-                          precision=jax.lax.Precision.HIGH)
+        if cfg.descr_rc_bf16:
+            # bf16 one-hot + magnitudes: halves the HBM traffic of the
+            # pipeline's largest intermediate and runs native-bf16 MXU
+            # passes; ~1e-2 L1 deviation, validated by the recall gate
+            hist = jnp.einsum("pk,po->ko", rc.astype(jnp.bfloat16),
+                              ow.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+        else:
+            # HIGH (bf16x3 passes): 2.2x faster than HIGHEST on the MXU
+            # with max descriptor deviation 0.002 L1 (measured;
+            # distances are O(1-10), matching decisions unaffected)
+            hist = jnp.einsum("pk,po->ko", rc, ow,
+                              precision=jax.lax.Precision.HIGH)
         hist = hist.reshape(d + 2, d + 2, n + 2)
         # circular orientation fold (src/sift.cpp:676-684)
         hist = hist.at[:, :, 0].add(hist[:, :, n])

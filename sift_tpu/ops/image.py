@@ -54,6 +54,11 @@ def resize_bilinear_u8(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 
 def downsample_nearest_2x(img: jnp.ndarray) -> jnp.ndarray:
     """cv::resize INTER_NEAREST to (cols/2, rows/2) (src/sift.cpp:254):
-    dst(y, x) = src(2y, 2x)."""
+    dst(y, x) = src(2y, 2x).
+
+    Implemented as reshape + unit slice, NOT a strided slice: lane-
+    strided gathers cost ~5 ms at 1080p on TPU, the reshape form
+    0.05 ms (bit-identical, measured)."""
     h2, w2 = img.shape[0] // 2, img.shape[1] // 2
-    return img[0:2 * h2:2, 0:2 * w2:2]
+    x = img[:2 * h2, :2 * w2]
+    return x.reshape(h2, 2, w2, 2)[:, 0, :, 0]

@@ -69,7 +69,7 @@ def _solve3x3(h00, h01, h02, h11, h12, h22, b0, b1, b2):
 
 
 def derivative_fields(dog: jnp.ndarray) -> jnp.ndarray:
-    """Dense Newton-step inputs over the octave: (D*H*W, 10).
+    """Dense Newton-step inputs over the octave: (10, D*H*W).
 
     Row layout: [d0 d1 d2 dxx dxy dxs dyy dys dss center], scaled per
     src/sift.cpp:291-295. Values at array borders use zero padding but
@@ -95,9 +95,12 @@ def derivative_fields(dog: jnp.ndarray) -> jnp.ndarray:
            + val(-1, 0, -1)) * _CROSS_DERIV_SCALE
     dys = (val(1, 1, 0) - val(1, -1, 0) - val(-1, 1, 0)
            + val(-1, -1, 0)) * _CROSS_DERIV_SCALE
+    # stack on the LEADING axis: a trailing (..., 10) layout puts 10 on
+    # the TPU lane dimension, which pads to 128 lanes — a measured
+    # ~13x HBM-traffic blowup that made this the detect stage's cost
     f = jnp.stack([d0, d1, d2, dxx, dxy, dxs, dyy, dys, dss, dog],
-                  axis=-1)
-    return f.reshape(d * h * w, 10)
+                  axis=0)
+    return f.reshape(10, d * h * w)
 
 
 def refine_candidates(dog: jnp.ndarray,
@@ -113,7 +116,7 @@ def refine_candidates(dog: jnp.ndarray,
     def fetch(lay, rr, cc):
         """(N,) coords -> per-candidate derivative rows (N, 10)."""
         idx = (lay * h + rr) * w + cc
-        return fields[idx]
+        return fields[:, idx].T
 
     lay, rr, cc = layer, r, c
     n = layer.shape[0]

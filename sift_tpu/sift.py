@@ -40,6 +40,14 @@ def detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
     layer0, r0, c0, valid0 = ext.top_candidates(dog, cap, cfg)
     rf = ref.refine_candidates(dog, layer0, r0, c0, valid0, cfg)
 
+    # mid-compaction: refinement rejects ~70% of candidates (contrast/
+    # edge tests), so orientation+descriptor work shrinks to out_cap
+    # slots here rather than carrying the full candidate cap through
+    if out_cap < cap:
+        mscore = jnp.where(rf.valid, jnp.abs(rf.contr) + 10.0, -1.0)
+        _, midx = jax.lax.top_k(mscore, out_cap)
+        rf = ref.Refined(*(a[midx] for a in rf))
+
     nl = cfg.n_octave_layers
     lay_f = rf.layer.astype(jnp.float32)
     scl_octv = cfg.sigma * jnp.exp2((lay_f + rf.xi) / nl)

@@ -1,10 +1,16 @@
 """Fused Pallas descriptor kernel parity vs the XLA path (interpret
 mode on CPU)."""
 
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 
-from sift_tpu.config import DEFAULT_CONFIG as CFG
+from sift_tpu.config import DEFAULT_CONFIG
+
+# kernel parity is checked in the bit-exact f32 mode (the bf16 rc fast
+# path is validated end to end by the recall gate instead)
+CFG = dataclasses.replace(DEFAULT_CONFIG, descr_rc_bf16=False)
 from sift_tpu import sift
 from sift_tpu.ops import pyramid as pyr
 from sift_tpu.ops import descriptor as desc_xla
