@@ -24,6 +24,22 @@ then flattened by MERGING LEADING DIMS ONLY ((hh, ww, k) ->
 (hh*ww, k), which Mosaic supports) and contracted over samples on the
 MXU. The (b, o) fold + spatial-interior selection becomes one
 constant (60, 32) matmul instead of lane-strided slicing.
+
+STATUS (round 2, measured on v5e): compiles AND matches the XLA path
+on hardware at small radii, but is NOT the live path, for measured
+reasons rather than speculation:
+  * compile time scales ~quadratically with patch area (the
+    (hh, ww, 60) one-hots unroll to ~hh x ceil(ww/8) vregs PER OP:
+    142 s at rd=11, ~1 h at the production rd=41 — long enough to
+    wedge the shared axon compile service);
+  * runtime is instruction-issue-bound: 7.2 us/keypoint at rd=11
+    (P=529!), because the channel-on-lane one-hots issue ~913 vector
+    ops per elementwise op at rd=41 and the per-keypoint grid cannot
+    amortize DMA latency.
+The live XLA formulation (ops/descriptor.py, bf16 one-hot) does the
+same math at ~6 us/keypoint at rd=41 with none of the compile risk,
+so it remains the production path; this kernel stays as an
+interpret-tested correctness twin and a record of the design space.
 """
 
 from __future__ import annotations
