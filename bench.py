@@ -37,7 +37,88 @@ def _enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def bench_stages() -> None:
+    """Per-stage chained timings -> BENCH_STAGES.json (one command
+    reproduces every number in BASELINE.md's stage tables)."""
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    from sift_tpu import sift
+    from sift_tpu.config import DEFAULT_CONFIG as CFG
+    from sift_tpu.ops import pyramid as pyr
+    from sift_tpu.ops import extrema as ext
+    from sift_tpu.ops import match as match_mod
+
+    import cv2
+    big = cv2.imread("/root/reference/data/scene.jpg")
+    f0 = jnp.asarray(cv2.cvtColor(cv2.resize(big, (1920, 1080)),
+                                  cv2.COLOR_RGB2GRAY).astype(np.float32))
+
+    def chain(fn, k=8):
+        def run(kk):
+            t0 = time.perf_counter()
+            acc = jnp.float32(0.1)
+            for _ in range(kk):
+                acc = fn(acc)
+            float(np.asarray(acc))
+            return time.perf_counter() - t0
+        run(1)
+        r1 = min(run(1) for _ in range(3))
+        rk = min(run(k) for _ in range(2))
+        return 1000.0 * (rk - r1) / (k - 1)
+
+    @jax.jit
+    def pyrdog(acc):
+        octs = pyr.build_gaussian_pyramid(f0 + acc * 1e-9, CFG)
+        dogs = pyr.build_dog_pyramid(octs)
+        return dogs[4][0, 0, 0] * 1e-9 + acc
+
+    @jax.jit
+    def cand(acc):
+        octs = pyr.build_gaussian_pyramid(f0 + acc * 1e-9, CFG)
+        dogs = pyr.build_dog_pyramid(octs)
+        s = acc
+        for o in range(CFG.n_octaves):
+            lay, r, c, v = ext.top_candidates(dogs[o],
+                                              CFG.detect_caps[o], CFG)
+            s = s + jnp.sum(r[:2]) * 1e-9
+        return s
+
+    def det(acc):
+        kp, octs = sift.detect(f0 + acc * 1e-9, CFG)
+        return kp.x[0] * 1e-9 + acc
+
+    def full(acc):
+        kp, d = sift.detect_and_compute(f0 + acc * 1e-9, CFG)
+        return jnp.sum(d[:4]) + acc
+
+    kp0, d0 = sift.detect_and_compute(f0, CFG)
+    kp0 = jax.block_until_ready(kp0)
+
+    def match_only(acc):
+        m = match_mod.match_ratio(d0 + acc * 1e-9, d0,
+                                  q_valid=kp0.valid, t_valid=kp0.valid)
+        return jnp.sum(m.distance[:2]) * 1e-9 + acc
+
+    stages = {
+        "pyramid_dog_ms": chain(pyrdog),
+        "pyramid_extrema_topk_ms": chain(cand),
+        "detect_ms": chain(det),
+        "detect_describe_ms": chain(full),
+        "match_ms": chain(match_only),
+    }
+    out = {"image": "scene.jpg@1920x1080",
+           "backend": jax.default_backend(),
+           "stages": {k: round(v, 2) for k, v in stages.items()}}
+    with open("BENCH_STAGES.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
 def main() -> None:
+    if "--stages" in sys.argv:
+        bench_stages()
+        return
     _enable_compile_cache()
     import jax
     import jax.numpy as jnp

@@ -21,6 +21,11 @@ _FIELDS = ("cameras", "points", "cam_idx", "pt_idx", "uv", "mask",
            "fixed_cams")
 
 
+def save_ba_step(dirpath: str, prob: BAProblem, step: int) -> str:
+    """Save under the canonical `ba_<step>` name `latest()` orders by."""
+    return save_ba(os.path.join(dirpath, f"ba_{step:08d}"), prob, step)
+
+
 def save_ba(path: str, prob: BAProblem, step: int = 0) -> str:
     """Save a BA problem snapshot; returns the written path."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -54,16 +59,31 @@ def load_ba(path: str) -> tuple[BAProblem, int]:
 
 
 def latest(dirpath: str, prefix: str = "ba_") -> Optional[str]:
-    """Most recent checkpoint under dirpath (by step suffix)."""
+    """Most recent checkpoint under dirpath, ordered by step.
+
+    The step comes from the `ba_<step>` filename written by
+    save_ba_step when present; files saved under arbitrary names fall
+    back to the step RECORDED INSIDE the snapshot (save_ba always
+    embeds it), so ordering never silently degrades to -1.
+    """
     if not os.path.isdir(dirpath):
         return None
     cands = [f for f in os.listdir(dirpath) if f.startswith(prefix)]
     if not cands:
         return None
+
     def step_of(name: str) -> int:
         stem = name.split(".")[0]
         try:
             return int(stem.rsplit("_", 1)[1])
         except (IndexError, ValueError):
+            pass
+        full = os.path.join(dirpath, name)
+        try:                      # authoritative: the embedded step
+            if name.endswith(".npz"):
+                with np.load(full) as z:
+                    return int(np.asarray(z["step"]))
+            return load_ba(full)[1]
+        except Exception:
             return -1
     return os.path.join(dirpath, max(cands, key=step_of))

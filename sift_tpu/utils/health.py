@@ -32,13 +32,17 @@ def assert_finite(tree, name: str = "state") -> None:
         raise FloatingPointError(f"non-finite values in {name}")
 
 
-def mesh_health_check(mesh) -> bool:
-    """True iff every device in the mesh participates in a psum.
+def mesh_health_check(mesh, timeout_s: float = 30.0) -> bool:
+    """True iff every device in the mesh answers a psum within the
+    deadline.
 
-    One scalar all-reduce over the first mesh axis; a hung or detached
-    chip fails the count (or hangs the collective, which the caller
-    should run under a timeout).
+    One scalar all-reduce over the first mesh axis; a detached chip
+    fails the count, and a HUNG collective fails the deadline — the
+    host pull runs in a daemon thread so this call always returns
+    within ~timeout_s even when the device never does.
     """
+    import threading
+
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
@@ -50,8 +54,17 @@ def mesh_health_check(mesh) -> bool:
 
     fn = shard_map(one, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
                    check_vma=False)
-    out = jax.jit(fn)(jnp.ones((n,), jnp.float32))
-    return bool(np.all(np.asarray(out) == n))
+
+    result: list = []
+
+    def pull():
+        out = jax.jit(fn)(jnp.ones((n,), jnp.float32))
+        result.append(bool(np.all(np.asarray(out) == n)))
+
+    t = threading.Thread(target=pull, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(result) and result[0]
 
 
 def bundle_adjust_restartable(prob: BAProblem, iters: int = 20,
