@@ -68,12 +68,17 @@ def _solve3x3(h00, h01, h02, h11, h12, h22, b0, b1, b2):
     return x0, x1, x2
 
 
-def derivative_fields(dog: jnp.ndarray) -> jnp.ndarray:
-    """Dense Newton-step inputs over the octave: (10, D*H*W).
+def derivative_fields(dog: jnp.ndarray):
+    """Dense Newton-step inputs over the octave: a 10-tuple of flat
+    (D*H*W,) arrays [d0 d1 d2 dxx dxy dxs dyy dys dss center], scaled
+    per src/sift.cpp:291-295. Values at array borders use zero padding
+    but are never read: candidates stay >= img_border from every edge.
 
-    Row layout: [d0 d1 d2 dxx dxy dxs dyy dys dss center], scaled per
-    src/sift.cpp:291-295. Values at array borders use zero padding but
-    are never read: candidates stay >= img_border from every edge.
+    Layout is deliberately a TUPLE of flat arrays: stacking on a
+    trailing (..., 10) axis lane-pads 10 -> 128 (a measured 13x HBM
+    traffic blowup), while a (10, DHW) stack forces per-candidate
+    gathers along the LANE axis (measured +3 ms per octave at 1080p).
+    Ten 1-D row gathers cost ~0.2 ms total instead.
     """
     d, h, w = dog.shape
     p = jnp.pad(dog, 1)
@@ -95,12 +100,9 @@ def derivative_fields(dog: jnp.ndarray) -> jnp.ndarray:
            + val(-1, 0, -1)) * _CROSS_DERIV_SCALE
     dys = (val(1, 1, 0) - val(1, -1, 0) - val(-1, 1, 0)
            + val(-1, -1, 0)) * _CROSS_DERIV_SCALE
-    # stack on the LEADING axis: a trailing (..., 10) layout puts 10 on
-    # the TPU lane dimension, which pads to 128 lanes — a measured
-    # ~13x HBM-traffic blowup that made this the detect stage's cost
-    f = jnp.stack([d0, d1, d2, dxx, dxy, dxs, dyy, dys, dss, dog],
-                  axis=0)
-    return f.reshape(10, d * h * w)
+    return tuple(x.reshape(d * h * w)
+                 for x in (d0, d1, d2, dxx, dxy, dxs, dyy, dys, dss,
+                           dog))
 
 
 def refine_candidates(dog: jnp.ndarray,
@@ -114,9 +116,9 @@ def refine_candidates(dog: jnp.ndarray,
     fields = derivative_fields(dog)
 
     def fetch(lay, rr, cc):
-        """(N,) coords -> per-candidate derivative rows (N, 10)."""
+        """(N,) coords -> 10-tuple of per-candidate (N,) gathers."""
         idx = (lay * h + rr) * w + cc
-        return fields[:, idx].T
+        return tuple(f[idx] for f in fields)
 
     lay, rr, cc = layer, r, c
     n = layer.shape[0]
@@ -129,10 +131,8 @@ def refine_candidates(dog: jnp.ndarray,
     # unrolled SIFT_MAX_INTERP_STEPS Newton steps (src/sift.cpp:300-348)
     for _ in range(cfg.max_interp_steps):
         active = alive & ~converged
-        g = fetch(lay, rr, cc)
-        d0, d1, d2 = g[:, 0], g[:, 1], g[:, 2]
-        dxx, dxy, dxs = g[:, 3], g[:, 4], g[:, 5]
-        dyy, dys, dss = g[:, 6], g[:, 7], g[:, 8]
+        (d0, d1, d2, dxx, dxy, dxs, dyy, dys, dss,
+         _center) = fetch(lay, rr, cc)
         x0, x1, x2 = _solve3x3(dxx, dxy, dxs, dyy, dys, dss, d0, d1, d2)
         nxi, nxr, nxc = -x2, -x1, -x0
         finite = (jnp.isfinite(nxi) & jnp.isfinite(nxr)
@@ -162,11 +162,8 @@ def refine_candidates(dog: jnp.ndarray,
     alive = alive & converged  # non-convergence rejects (sift.cpp:351)
 
     # final contrast + edge tests at the converged location
-    g = fetch(lay, rr, cc)
-    d0, d1, d2 = g[:, 0], g[:, 1], g[:, 2]
-    dxx, dxy = g[:, 3], g[:, 4]
-    dyy = g[:, 6]
-    center = g[:, 9]
+    (d0, d1, d2, dxx, dxy, _dxs, dyy, _dys, _dss,
+     center) = fetch(lay, rr, cc)
     t = d0 * xc + d1 * xr + d2 * xi
     contr = center * _IMG_SCALE + t * 0.5
     alive = alive & (jnp.abs(contr) * nl >= cfg.contrast_threshold)
