@@ -57,10 +57,12 @@ class SIFTConfig:
     # weakest candidates first (and sift.octave_saturation flags it).
     detect_caps: Tuple[int, ...] = (2048, 1024, 512, 256, 128)
     # Final per-octave keypoint/descriptor capacity after refinement +
-    # orientation expansion. Measured valid counts at 1080p are
-    # (685, 167, 63, 30, 21) — ~1.5-4x headroom here, and half the
+    # orientation expansion. Measured valid counts: (685, 167, 63, 30,
+    # 21) at 1080p, (1017, 225, 63, 40, 19) at full-res 2048x1280 —
+    # ~1.5-2x headroom at every octave, and less than half the
     # descriptor/matcher work vs using detect_caps as output caps.
-    out_caps: Tuple[int, ...] = (1024, 512, 256, 128, 128)
+    # octave_saturation flags any octave that fills its cap.
+    out_caps: Tuple[int, ...] = (1024, 256, 128, 64, 64)
     # Max orientation peaks expanded per refined keypoint.
     max_ori_peaks: int = 4
     # Final global keypoint budget after cross-octave compaction.
