@@ -176,7 +176,8 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
                 min_pnp_points: int = 12,
                 cap_pad: int = 256,
                 ba_window: Optional[int] = 8,
-                retriangulate_every: int = 2) -> Reconstruction:
+                retriangulate_every: int = 2,
+                prune_factor: float = 4.0) -> Reconstruction:
     """Run incremental SfM.
 
     kp_xy: per-frame (N_f, 2) NORMALIZED keypoint coordinates.
@@ -186,6 +187,9 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
         cost; None = global. The final BA is always global.
     retriangulate_every: refresh live points from their widest-
         baseline pair every N-th periodic BA (0 disables).
+    prune_factor: after each BA, drop observations with reprojection
+        error > prune_factor * ransac_threshold (COLMAP-style track
+        filtering; 0 disables).
     """
     n_frames = len(kp_xy)
     tracks = build_tracks(n_frames, matches)
@@ -258,6 +262,34 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
                 by_pair.setdefault(widest_pair(fs), []).append(int(t))
         for (fa, fb), tl in by_pair.items():
             tri_tracks(tl, fa, fb)
+
+    def prune_observations(max_err: float) -> int:
+        """COLMAP-style track filtering: drop observations whose
+        reprojection error exceeds max_err (wrong-correspondence
+        matches poison BA long before robust losses saturate); tracks
+        left with <2 registered views lose their point. Returns the
+        number of observations removed."""
+        n_dropped = 0
+        for t in np.where(has_point)[0]:
+            bad = []
+            for f, k in tracks[t].items():
+                if not (registered[f] and np.isfinite(cameras[f]).all()):
+                    continue
+                r, tt = _pose_rt(cameras[f])
+                xc = r @ points[t] + tt
+                if xc[2] <= 1e-6:
+                    bad.append(f)
+                    continue
+                err = np.linalg.norm(xc[:2] / xc[2] - kp_xy[f][k])
+                if err > max_err:
+                    bad.append(f)
+            for f in bad:
+                del tracks[t][f]
+                n_dropped += 1
+            n_reg = sum(1 for f in tracks[t] if registered[f])
+            if len(tracks[t]) < 2 or n_reg < 2:
+                has_point[t] = False
+        return n_dropped
 
     # --- initialization: try pairs by match count until one yields a
     # well-conditioned baseline (near-pure-rotation pairs triangulate
@@ -367,6 +399,8 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
                                 huber_delta=ransac_threshold)
             cameras[registered] = np.asarray(out.cameras)[registered]
             points[live] = np.asarray(out.points)[:len(live)]
+            if prune_factor:
+                prune_observations(prune_factor * ransac_threshold)
 
     # --- final BA (always global) ---
     if not has_point.any():
@@ -379,6 +413,15 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
                         huber_delta=ransac_threshold)
     cameras[registered] = np.asarray(out.cameras)[registered]
     points[live] = np.asarray(out.points)[:len(live)]
+    if prune_factor and prune_observations(
+            prune_factor * ransac_threshold) and has_point.any():
+        # contaminated observations left the table: one more clean BA
+        prob, live = _ba_tables(tracks, kp_xy, cameras, registered,
+                                points, has_point, anchor_frame=i0)
+        out = bundle_adjust(prob, iters=ba_iters, loss="cauchy",
+                            huber_delta=ransac_threshold)
+        cameras[registered] = np.asarray(out.cameras)[registered]
+        points[live] = np.asarray(out.points)[:len(live)]
     rmse = float(np.asarray(reproj_rmse(out)))
 
     cameras[failed] = np.nan        # mark unregisterable views clearly

@@ -112,6 +112,26 @@ def test_incremental_sfm_long_sequence_windowed(rng):
     assert 0 < len(shapes) <= 8, shapes
 
 
+def test_incremental_sfm_prunes_contaminated_matches(rng):
+    """Wrong-correspondence matches (index swaps — geometrically
+    inconsistent observations) must be filtered by the COLMAP-style
+    reprojection pruning rather than dragging BA off the optimum."""
+    cams_true, pts, kp_xy, matches = _synthetic_sequence(rng)
+    bad = {}
+    for (i, j), m in matches.items():
+        m = m.copy()
+        k = max(2, len(m) // 12)          # corrupt ~8% of each pair
+        sl = m[:k, 1].copy()
+        m[:k, 1] = np.roll(sl, 1)         # wrong but valid indices
+        bad[(i, j)] = m
+    rec = reconstruct(kp_xy, bad, init_pair=(0, 1))
+    assert rec.registered.sum() == len(kp_xy), rec.registered
+    assert rec.reproj_rmse < 2e-3, rec.reproj_rmse
+    est_c = camera_centers(rec.cameras[rec.registered])
+    gt_c = camera_centers(cams_true[rec.registered])
+    assert ate_rmse(est_c, gt_c) < 0.03
+
+
 def test_umeyama_identity(rng):
     from sift_tpu.utils.metrics import umeyama_alignment
     src = rng.normal(0, 1, (50, 3))
