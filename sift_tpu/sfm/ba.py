@@ -133,13 +133,22 @@ def _cost(prob: BAProblem, huber_delta: float, loss: str,
     return psum(total) if psum is not None else total
 
 
+_SAME = object()
+
+
 def _lm_step(prob: BAProblem, lam: jnp.ndarray, huber_delta: float,
-             loss: str, cg_iters: int, psum=None):
+             loss: str, cg_iters: int, psum=None, psum_pt=_SAME):
     """One damped Schur/CG step. Returns (dcams (C,6), dpts (P,3)).
 
     `psum` optionally reduces observation-sharded segment sums across
     a mesh axis (parallel/ba.py passes lax.psum); None on one chip.
+    `psum_pt` separately controls the POINT-side reductions: for
+    observation sharding it equals `psum` (points replicated); for
+    point sharding it is None — each device owns its point block and
+    only camera-side reductions cross the mesh.
     """
+    if psum_pt is _SAME:
+        psum_pt = psum
     c = prob.cameras.shape[0]
     p = prob.points.shape[0]
     jc, jp, res, w = _build_system(prob, huber_delta, loss)
@@ -151,7 +160,7 @@ def _lm_step(prob: BAProblem, lam: jnp.ndarray, huber_delta: float,
 
     def seg_pt(x):   # (O, ...) -> (P, ...)
         out = jax.ops.segment_sum(x, prob.pt_idx, num_segments=p)
-        return psum(out) if psum is not None else out
+        return psum_pt(out) if psum_pt is not None else out
 
     # normal-equation blocks
     hcc = seg_cam(wc * jnp.einsum("ori,orj->oij", jc, jc))   # (C,6,6)
@@ -218,19 +227,21 @@ def _lm_step(prob: BAProblem, lam: jnp.ndarray, huber_delta: float,
 
 def bundle_adjust_loop(prob: BAProblem, iters: int, cg_iters: int,
                        huber_delta: float, loss: str, lam0: float,
-                       psum=None) -> BAProblem:
+                       psum=None, psum_pt=_SAME) -> BAProblem:
     """LM loop shared by the single-chip and sharded adjusters.
 
     With `psum`, the observation table is assumed sharded over a mesh
-    axis (cameras/points replicated): every cross-observation
-    reduction — normal-equation blocks, Schur/CG matvecs, costs — is
-    psum-ed, so each device computes the identical update.
+    axis: every cross-observation reduction — normal-equation blocks,
+    Schur/CG matvecs, costs — is psum-ed, so each device computes the
+    identical update. With `psum_pt=None` on top, points (and their
+    observations) are device-local map blocks: point-side reductions
+    stay on-device and only the camera system crosses the mesh.
     """
 
     def body(_, carry):
         prob, lam = carry
         dc, dp = _lm_step(prob, lam, huber_delta, loss, cg_iters,
-                          psum=psum)
+                          psum=psum, psum_pt=psum_pt)
         cand = prob._replace(cameras=prob.cameras + dc,
                              points=prob.points + dp)
         c0 = _cost(prob, huber_delta, loss, psum=psum)

@@ -123,6 +123,28 @@ def test_ba_sharded_matches_single(rng):
     assert float(reproj_rmse(out_s)) < 1.5e-3
 
 
+def test_ba_point_sharded_matches_single(rng):
+    """Map-block sharding: points partitioned across the mesh, only
+    the camera system psum'd. Must converge like the dense adjuster."""
+    import jax
+    from sift_tpu.parallel import default_mesh
+    from sift_tpu.parallel.ba import bundle_adjust_point_sharded
+    assert len(jax.devices()) >= 8
+    prob, _, _ = _make_rig(rng)
+    mesh = default_mesh(8)
+    out_s = bundle_adjust_point_sharded(prob, mesh, iters=12,
+                                        cg_iters=30)
+    out_1 = bundle_adjust(prob, iters=12, cg_iters=30)
+    np.testing.assert_allclose(np.asarray(out_s.cameras),
+                               np.asarray(out_1.cameras),
+                               rtol=5e-3, atol=5e-3)
+    assert float(reproj_rmse(out_s)) < 1.5e-3
+    # gauge camera untouched, point ordering preserved
+    np.testing.assert_array_equal(np.asarray(out_s.cameras[0]),
+                                  np.asarray(prob.cameras[0]))
+    assert out_s.points.shape == prob.points.shape
+
+
 import pytest as _pytest
 
 
