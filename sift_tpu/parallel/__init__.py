@@ -9,7 +9,11 @@ all expressed with shard_map + XLA collectives over ICI.
 
 from sift_tpu.parallel.mesh import make_mesh, default_mesh
 from sift_tpu.parallel.frames import batched_detect_and_compute
-from sift_tpu.parallel.match import sharded_match_ratio
+from sift_tpu.parallel.match import (sharded_match_ratio,
+                                     sharded_match_ratio_train_sharded)
+from sift_tpu.parallel.ba import (bundle_adjust_sharded,
+                                  bundle_adjust_point_sharded)
 
 __all__ = ["make_mesh", "default_mesh", "batched_detect_and_compute",
-           "sharded_match_ratio"]
+           "sharded_match_ratio", "sharded_match_ratio_train_sharded",
+           "bundle_adjust_sharded", "bundle_adjust_point_sharded"]

@@ -9,5 +9,13 @@ exact shape that shards over device meshes with psum.
 """
 
 from sift_tpu.sfm.ba import BAProblem, bundle_adjust, reproj_rmse
+from sift_tpu.sfm.incremental import Reconstruction, reconstruct
+from sift_tpu.sfm.posegraph import PoseGraph, optimize_pose_graph
+from sift_tpu.sfm.posegraph_dist import optimize_pose_graph_partitioned
+from sift_tpu.sfm.loopclosure import LoopClosure, find_loop_closures
 
-__all__ = ["BAProblem", "bundle_adjust", "reproj_rmse"]
+__all__ = ["BAProblem", "bundle_adjust", "reproj_rmse",
+           "Reconstruction", "reconstruct",
+           "PoseGraph", "optimize_pose_graph",
+           "optimize_pose_graph_partitioned",
+           "LoopClosure", "find_loop_closures"]
