@@ -173,10 +173,14 @@ def _golden_gray(data_dir: str, source: str, resized: bool
     960x960 on the COLOR image (exactly as tools/ref_dump did) before
     the swapped-gray conversion (src/main.cpp:84 semantics).
     """
-    if source.endswith("_960"):
+    import re
+    m = re.fullmatch(r"(.+)_(\d+)(?:x(\d+))?", source)
+    if m and not os.path.exists(os.path.join(data_dir, source)):
         import cv2
-        bgr = cv2.imread(os.path.join(data_dir, source[:-4] + ".jpg"))
-        bgr = cv2.resize(bgr, (960, 960))
+        stem, a, b = m.group(1), int(m.group(2)), m.group(3)
+        size = (a, int(b)) if b else (a, a)       # (W, H)
+        bgr = cv2.imread(os.path.join(data_dir, stem + ".jpg"))
+        bgr = cv2.resize(bgr, size)
         return sio._gray_swapped_np(bgr)
     return sio.read_image(os.path.join(data_dir, source),
                           resized=resized)

@@ -18,11 +18,15 @@ import numpy as np
 
 PAIRS = {
     # pair tag -> (scene source, object source, scene_resized)
+    # sources named <stem>_<W>x<H> are <stem>.jpg pre-resized to WxH;
+    # <stem>_960 is the square-960 shorthand (see eval._golden_gray)
     "book": ("scene.jpg", "book.jpg", True),
     "query": ("base.jpg", "query.png", True),
     "adidas": ("adidas.jpg", "query2.png", True),
     "rotate": ("query_960", "rotate_960", False),
     "viewpoint": ("query_960", "2ndviewpoint_960", False),
+    # the headline benchmark configuration: scene at 1920x1080
+    "book1080": ("scene_1920x1080", "book.jpg", False),
 }
 
 
