@@ -109,16 +109,20 @@ def bundle_adjust_point_sharded(prob: BAProblem, mesh: Mesh,
                         mask=m_l[0], fixed_cams=fixed)
         out = bundle_adjust_loop(sub, iters, cg_iters, huber_delta,
                                  loss, lam0, psum=psum, psum_pt=None)
-        return out.cameras, out.points[None]
+        # one final all_gather replicates the solved map so callers
+        # (incl. multi-process ones) can fetch it without cross-host
+        # addressability gymnastics; O(P) bytes once, not per step
+        pts_all = jax.lax.all_gather(out.points, axis)     # (n, pp, 3)
+        return out.cameras, pts_all.reshape(-1, 3)
 
     sh = P(axis)
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(), P(), sh, sh, sh, sh, sh),
-                   out_specs=(P(), sh), check_vma=False)
+                   out_specs=(P(), P()), check_vma=False)
     cams_out, pts_out = jax.jit(fn)(
         prob.cameras, prob.fixed_cams,
         jnp.asarray(pts_pad.reshape(n, pp, 3)),
         jnp.asarray(l_cam), jnp.asarray(l_pt), jnp.asarray(l_uv),
         jnp.asarray(l_mask))
     return prob._replace(cameras=cams_out,
-                         points=pts_out.reshape(-1, 3)[:p_total])
+                         points=pts_out[:p_total])

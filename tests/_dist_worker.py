@@ -133,6 +133,16 @@ def main() -> int:
     assert float(reproj_rmse(out_l)) < 1.5e-3
     print(f"[p{pid}] BA_OK", flush=True)
 
+    # --- point-sharded (map-block) BA across the process boundary ---
+    from sift_tpu.parallel.ba import bundle_adjust_point_sharded
+    out_p = bundle_adjust_point_sharded(prob_l, mesh, iters=12,
+                                        cg_iters=30)
+    rmse_p = float(reproj_rmse(prob_l._replace(
+        cameras=jnp.asarray(np.asarray(out_p.cameras)),
+        points=jnp.asarray(np.asarray(out_p.points)))))
+    assert rmse_p < 1.5e-3, rmse_p
+    print(f"[p{pid}] BA_PT_OK", flush=True)
+
     # --- query-sharded matching across the process boundary ---
     rng = np.random.default_rng(1)
 

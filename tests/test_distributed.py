@@ -52,7 +52,7 @@ def test_two_process_distributed():
                     + "\n".join(o or "" for o in outs))
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
-        for marker in ("BA_OK", "MATCH_OK", "POSEGRAPH_OK"):
+        for marker in ("BA_OK", "BA_PT_OK", "MATCH_OK", "POSEGRAPH_OK"):
             assert marker in out, f"worker {i} missing {marker}:\n{out}"
 
 
