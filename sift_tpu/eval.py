@@ -268,22 +268,31 @@ def main(argv=None) -> int:
         rr = report["reference_recall"]
         krs = ([r["keypoint_recall_scene"] for r in rr]
                + [r["keypoint_recall_object"] for r in rr])
-        # match recall weighted by reference match count (tiny pairs
-        # with 2 reference matches shouldn't dominate the mean)
+        # weighted mean for reporting; the GATE below uses the
+        # per-pair MINIMUM so a single-config collapse can't hide in
+        # an average (tiny pairs still shouldn't fail the match gate
+        # on one missing match, so their recall is floored by count)
         w = np.array([r["ref_good_matches"] for r in rr], float)
         mrs = np.array([r["match_recall"] for r in rr])
+        def _pair_mr(r):
+            n_ref = max(r["ref_good_matches"], 1)
+            misses = round((1.0 - r["match_recall"]) * n_ref)
+            return 1.0 if misses <= 1 else r["match_recall"]
+        min_mr = min(_pair_mr(r) for r in rr)
         report["summary"]["min_keypoint_recall"] = round(min(krs), 4)
         report["summary"]["mean_keypoint_recall"] = round(
             float(np.mean(krs)), 4)
         report["summary"]["match_recall"] = round(
             float((w * mrs).sum() / w.sum()), 4)
+        report["summary"]["min_match_recall"] = round(min_mr, 4)
 
     s = report["summary"]
     failures = []
     if "reference_recall" in report:
-        if s["mean_keypoint_recall"] < GATES["min_keypoint_recall"]:
+        if s["min_keypoint_recall"] < GATES["min_keypoint_recall"]:
             failures.append("keypoint_recall")
-        if s["match_recall"] < GATES["min_match_recall"]:
+        if min(s["match_recall"], s["min_match_recall"]) \
+                < GATES["min_match_recall"]:
             failures.append("match_recall")
     if s["mean_repeatability"] is not None:
         if s["mean_repeatability"] < GATES["min_mean_repeatability"]:

@@ -60,6 +60,13 @@ def match_ratio_cascade(query: jnp.ndarray, train: jnp.ndarray,
     """
     n, d = query.shape
     m = train.shape[0]
+    if m < 2:
+        # BFMatcher k=2 semantics need two train rows; nothing can be
+        # a good match (and lax.top_k(k=2) would reject m==1)
+        return Matches(jnp.arange(n, dtype=jnp.int32),
+                       jnp.zeros((n,), jnp.int32),
+                       jnp.full((n,), _SENTINEL, jnp.float32),
+                       jnp.zeros((n,), bool))
     c = min(n_candidates, m)
     proj = _projection(d, d_proj, seed)
     q32 = query.astype(jnp.float32)
@@ -69,11 +76,15 @@ def match_ratio_cascade(query: jnp.ndarray, train: jnp.ndarray,
     tp = t32 @ proj                                   # (M, d')
     t_sq = jnp.sum(tp * tp, axis=1)                   # (M,)
 
-    if n % tile != 0:
-        tile_n = n
-    else:
-        tile_n = tile
-    nq = n // tile_n
+    # pad the query side up to a tile multiple: falling back to one
+    # giant chunk would materialize the full (N, M) coarse matrix —
+    # exactly what the tiling exists to avoid at map scale
+    tile_n = min(tile, n)
+    pad_n = (-n) % tile_n
+    if pad_n:
+        q32 = jnp.pad(q32, ((0, pad_n), (0, 0)))
+        qp = jnp.pad(qp, ((0, pad_n), (0, 0)))
+    nq = (n + pad_n) // tile_n
 
     def chunk(args):
         qp_c, q_c = args
@@ -90,7 +101,8 @@ def match_ratio_cascade(query: jnp.ndarray, train: jnp.ndarray,
     i1, d1, d2 = jax.lax.map(
         chunk, (qp.reshape(nq, tile_n, d_proj),
                 q32.reshape(nq, tile_n, d)))
-    r = Knn2(i1.reshape(n), d1.reshape(n), d2.reshape(n))
+    r = Knn2(i1.reshape(-1)[:n], d1.reshape(-1)[:n],
+             d2.reshape(-1)[:n])
 
     good = r.d1 <= ratio * r.d2
     good = good & (r.d1 < _SENTINEL) & (r.d2 < _SENTINEL)

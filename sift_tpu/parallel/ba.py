@@ -26,6 +26,7 @@ from jax import shard_map
 import numpy as np
 
 from sift_tpu.sfm.ba import BAProblem, bundle_adjust_loop
+from sift_tpu.utils.caps import pow2_cap
 
 
 def bundle_adjust_sharded(prob: BAProblem, mesh: Mesh,
@@ -89,7 +90,7 @@ def bundle_adjust_point_sharded(prob: BAProblem, mesh: Mesh,
     pts_pad[:p_total] = points
     block_of = np.minimum(pt_idx // pp, n - 1)
     counts = [(mask & (block_of == b)).sum() for b in range(n)]
-    ocap = max(1 << int(np.ceil(np.log2(max(max(counts), 2)))), 64)
+    ocap = pow2_cap(max(counts), lo=64)
     l_cam = np.zeros((n, ocap), np.int32)
     l_pt = np.zeros((n, ocap), np.int32)
     l_uv = np.zeros((n, ocap, 2), np.float32)

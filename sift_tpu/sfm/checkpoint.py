@@ -31,16 +31,24 @@ def save_ba(path: str, prob: BAProblem, step: int = 0) -> str:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays = {f: np.asarray(getattr(prob, f)) for f in _FIELDS}
     arrays["step"] = np.asarray(step)
+
+    def _sidecar(written: str) -> str:
+        # tiny step sidecar: latest() orders arbitrary names without
+        # deserializing whole (potentially map-scale) snapshots
+        with open(written + ".step", "w") as f:
+            f.write(str(int(step)))
+        return written
+
     try:
         import orbax.checkpoint as ocp
         ckpt_path = os.path.abspath(f"{path}.orbax")
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(ckpt_path, arrays, force=True)
         ckptr.wait_until_finished()
-        return ckpt_path
+        return _sidecar(ckpt_path)
     except Exception:
         np.savez(path + ".npz", **arrays)
-        return path + ".npz"
+        return _sidecar(path + ".npz")
 
 
 def load_ba(path: str) -> tuple[BAProblem, int]:
@@ -68,7 +76,8 @@ def latest(dirpath: str, prefix: str = "ba_") -> Optional[str]:
     """
     if not os.path.isdir(dirpath):
         return None
-    cands = [f for f in os.listdir(dirpath) if f.startswith(prefix)]
+    cands = [f for f in os.listdir(dirpath)
+             if f.startswith(prefix) and not f.endswith(".step")]
     if not cands:
         return None
 
@@ -79,11 +88,16 @@ def latest(dirpath: str, prefix: str = "ba_") -> Optional[str]:
         except (IndexError, ValueError):
             pass
         full = os.path.join(dirpath, name)
-        try:                      # authoritative: the embedded step
-            if name.endswith(".npz"):
-                with np.load(full) as z:
+        try:                      # cheap sidecar written by save_ba
+            with open(full + ".step") as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            pass
+        try:                      # last resort: embedded step (npz
+            if name.endswith(".npz"):     # header read, not a full
+                with np.load(full) as z:  # snapshot restore)
                     return int(np.asarray(z["step"]))
-            return load_ba(full)[1]
         except Exception:
-            return -1
+            pass
+        return -1
     return os.path.join(dirpath, max(cands, key=step_of))

@@ -26,6 +26,7 @@ from sift_tpu.geometry.epipolar import find_essential_ransac
 from sift_tpu.geometry.pnp import pnp_ransac
 from sift_tpu.geometry.triangulation import triangulate
 from sift_tpu.sfm.ba import BAProblem, bundle_adjust, reproj_rmse
+from sift_tpu.utils.caps import pow2_cap as _pow2
 
 
 class _UnionFind:
@@ -88,10 +89,6 @@ class Reconstruction:
     reproj_rmse: float
 
 
-def _pow2(n: int, lo: int = 64) -> int:
-    return max(1 << int(np.ceil(np.log2(max(n, 2)))), lo)
-
-
 def _ba_tables(tracks, kp_xy, cameras, registered, points, has_point,
                obs_cap: Optional[int] = None,
                anchor_frame: Optional[int] = None,
@@ -134,7 +131,7 @@ def _ba_tables(tracks, kp_xy, cameras, registered, points, has_point,
                 pt_idx.append(remap[ti])
                 uv.append(kp_xy[f][k])
     o = len(cam_idx)
-    cap = obs_cap or _pow2(o)
+    cap = obs_cap or _pow2(o, lo=64)
     pad = cap - o
     mask = np.array([True] * o + [False] * pad)
     fixed = ~usable
@@ -301,7 +298,7 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
         m0 = np.asarray(matches[(i0, j0)])
         if len(m0) < 16:
             continue
-        cap = int(2 ** np.ceil(np.log2(max(len(m0), 16)))) * 2
+        cap = _pow2(len(m0), lo=16) * 2
         p0, mask0 = pad2(kp_xy[i0][m0[:, 0]], cap)
         p1, _ = pad2(kp_xy[j0][m0[:, 1]], cap)
         res = find_essential_ransac(jnp.asarray(p0), jnp.asarray(p1),
@@ -350,7 +347,7 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
         ts = overlaps[best_f]
         x3 = points[ts]
         p2 = np.stack([kp_xy[best_f][tracks[t][best_f]] for t in ts])
-        cap = int(2 ** np.ceil(np.log2(max(len(ts), 16)))) * 2
+        cap = _pow2(len(ts), lo=16) * 2
         x3p, maskp = pad2(x3, cap)
         p2p, _ = pad2(p2, cap)
         pres = pnp_ransac(jnp.asarray(x3p), jnp.asarray(p2p),

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from sift_tpu.geometry import lie
 from sift_tpu.geometry.epipolar import find_essential_ransac
 from sift_tpu.ops.match_cascade import match_ratio_cascade, _projection
+from sift_tpu.utils.caps import pow2_cap
 
 
 class LoopClosure(NamedTuple):
@@ -94,7 +95,7 @@ def find_loop_closures(descriptors: Sequence[np.ndarray],
         ti = np.asarray(m.train_idx)[qi]
         p_i = kp_xy[i][ti]
         p_j = kp_xy[j][qi]
-        cap = 1 << int(np.ceil(np.log2(max(len(p_i), 16))))
+        cap = pow2_cap(len(p_i), lo=16)
         pad = cap - len(p_i)
         valid = np.array([True] * len(p_i) + [False] * pad)
         p_i_p = np.concatenate([p_i, np.zeros((pad, 2))]).astype(np.float32)

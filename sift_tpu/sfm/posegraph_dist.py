@@ -47,6 +47,10 @@ class PartitionedGraph(NamedTuple):
     edges_i/j: (B, El) LOCAL endpoint indices
     rel:  (B, El, 6); weight: (B, El); emask: (B, El)
     fixed:(B, Vl) gauge-fixed OR halo (frozen during local solves)
+    color:(B,) Gauss-Seidel schedule color: blocks sharing an edge
+          never update in the same round (greedy coloring of the
+          block-coupling graph — index parity alone misses
+          loop-closure edges between same-parity blocks)
     """
     gidx: jnp.ndarray
     own: jnp.ndarray
@@ -57,6 +61,7 @@ class PartitionedGraph(NamedTuple):
     weight: jnp.ndarray
     emask: jnp.ndarray
     fixed: jnp.ndarray
+    color: jnp.ndarray
 
 
 def partition_pose_graph(g: PoseGraph, n_blocks: int) -> PartitionedGraph:
@@ -85,6 +90,23 @@ def partition_pose_graph(g: PoseGraph, n_blocks: int) -> PartitionedGraph:
         verts = np.concatenate([owned, np.array(halo, int)]) \
             if halo else owned
         locals_.append((owned, verts, touching))
+
+    # greedy coloring of the block-coupling graph: blocks linked by any
+    # edge (incl. loop closures) must not update simultaneously
+    adj = {b: set() for b in range(n_blocks)}
+    for k in range(len(ei)):
+        if emask[k]:
+            a, b = int(block_of[ei[k]]), int(block_of[ej[k]])
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+    colors = np.zeros(n_blocks, np.int32)
+    for b in range(n_blocks):
+        used = {int(colors[nb]) for nb in adj[b] if nb < b}
+        col = 0
+        while col in used:
+            col += 1
+        colors[b] = col
 
     vl = max(len(vv) for _, vv, _ in locals_)
     el = max(max(len(tt) for _, _, tt in locals_), 1)
@@ -120,7 +142,8 @@ def partition_pose_graph(g: PoseGraph, n_blocks: int) -> PartitionedGraph:
     return PartitionedGraph(
         gidx=stack(gidx), own=stack(own), vmask=stack(vmask),
         edges_i=stack(lei), edges_j=stack(lej), rel=stack(rel),
-        weight=stack(wgt), emask=stack(lem), fixed=stack(lfix))
+        weight=stack(wgt), emask=stack(lem), fixed=stack(lfix),
+        color=jnp.asarray(colors))
 
 
 def optimize_pose_graph_partitioned(
@@ -135,13 +158,13 @@ def optimize_pose_graph_partitioned(
     axis = mesh.axis_names[0]
     n_blocks = mesh.shape[axis]
     part = partition_pose_graph(g, n_blocks)
+    # static color count: rounds cycle through the schedule colors
+    n_colors = int(np.asarray(part.color).max()) + 1
     v = g.poses.shape[0]
 
     def local_rounds(poses, pt: PartitionedGraph):
         # shard_map gives leading-dim-1 blocks; drop it
         pt = jax.tree_util.tree_map(lambda x: x[0], pt)
-
-        bid = jax.lax.axis_index(axis)
 
         def one_round(i, poses):
             local = poses[pt.gidx]                        # (Vl, 6)
@@ -151,10 +174,12 @@ def optimize_pose_graph_partitioned(
                             fixed=pt.fixed)
             sub = optimize_pose_graph(sub, iters=inner_iters,
                                       lam0=lam0)
-            # red-black schedule: neighboring blocks alternate rounds
-            # (simultaneous Jacobi updates of coupled blocks oscillate
-            # and stall; Gauss-Seidel coloring restores convergence)
-            active = ((bid % 2) == (i % 2)).astype(jnp.float32)
+            # Gauss-Seidel color schedule: edge-coupled blocks never
+            # update in the same round (simultaneous Jacobi updates of
+            # coupled blocks oscillate and stall); colors come from a
+            # greedy coloring of the block-coupling graph, so loop-
+            # closure couplings are respected too, not just the chain
+            active = (pt.color == (i % n_colors)).astype(jnp.float32)
             ownf = (pt.own & pt.vmask).astype(jnp.float32)[:, None] \
                 * active
             contrib = jnp.zeros((v, 6), jnp.float32).at[pt.gidx].add(
