@@ -132,6 +132,23 @@ def test_incremental_sfm_prunes_contaminated_matches(rng):
     assert ate_rmse(est_c, gt_c) < 0.03
 
 
+def test_export_reconstruction(rng, tmp_path):
+    cams_true, pts, kp_xy, matches = _synthetic_sequence(
+        rng, n_frames=7, n_pts=150)
+    rec = reconstruct(kp_xy, matches)
+    from sift_tpu.sfm.export import save_reconstruction
+    out = save_reconstruction(str(tmp_path / "rec"), rec)
+    ply = open(out["ply"]).read().splitlines()
+    assert ply[0] == "ply"
+    n_declared = int([l for l in ply if l.startswith("element vertex")]
+                     [0].split()[-1])
+    assert n_declared == int(rec.has_point.sum()) > 50
+    import json
+    j = json.load(open(out["json"]))
+    assert len(j["cameras"]) == int(rec.registered.sum())
+    assert np.isfinite(j["reproj_rmse"])
+
+
 def test_umeyama_identity(rng):
     from sift_tpu.utils.metrics import umeyama_alignment
     src = rng.normal(0, 1, (50, 3))
