@@ -13,9 +13,12 @@ from sift_tpu.sfm.incremental import Reconstruction, reconstruct
 from sift_tpu.sfm.posegraph import PoseGraph, optimize_pose_graph
 from sift_tpu.sfm.posegraph_dist import optimize_pose_graph_partitioned
 from sift_tpu.sfm.loopclosure import LoopClosure, find_loop_closures
+from sift_tpu.sfm.rotation_avg import average_rotations
+from sift_tpu.sfm.export import save_ply, save_reconstruction
 
 __all__ = ["BAProblem", "bundle_adjust", "reproj_rmse",
            "Reconstruction", "reconstruct",
            "PoseGraph", "optimize_pose_graph",
            "optimize_pose_graph_partitioned",
-           "LoopClosure", "find_loop_closures"]
+           "LoopClosure", "find_loop_closures",
+           "average_rotations", "save_ply", "save_reconstruction"]
