@@ -29,12 +29,14 @@ def save_ply(path: str, points: np.ndarray,
             f.write("property uchar red\nproperty uchar green\n"
                     "property uchar blue\n")
         f.write("end_header\n")
-        for i in range(n):
-            row = f"{pts[i, 0]:.6f} {pts[i, 1]:.6f} {pts[i, 2]:.6f}"
-            if colors is not None:
-                c = np.asarray(colors[i], np.int64)
-                row += f" {c[0]} {c[1]} {c[2]}"
-            f.write(row + "\n")
+        # vectorized body: per-row Python writes cost seconds at
+        # map-scale point counts
+        if colors is None:
+            np.savetxt(f, pts, fmt="%.6f %.6f %.6f")
+        else:
+            body = np.concatenate(
+                [pts, np.asarray(colors, np.float64)], axis=1)
+            np.savetxt(f, body, fmt="%.6f %.6f %.6f %d %d %d")
     return path
 
 
@@ -46,18 +48,23 @@ def save_reconstruction(path_prefix: str, rec: Reconstruction) -> dict:
     from sift_tpu.utils.metrics import camera_centers
 
     ply = save_ply(path_prefix + ".ply", rec.points[rec.has_point])
-    reg = np.where(rec.registered)[0]
-    centers = camera_centers(rec.cameras[rec.registered])
+    # exportable = registered AND finite (the same guard the SfM
+    # driver applies; a NaN camera would make the JSON unparseable
+    # for strict RFC 8259 consumers)
+    exportable = rec.registered & np.isfinite(rec.cameras).all(axis=1)
+    reg = np.where(exportable)[0]
+    centers = (camera_centers(rec.cameras[exportable])
+               if len(reg) else np.zeros((0, 3)))
     payload = {
         "n_points": int(rec.has_point.sum()),
-        "reproj_rmse": float(rec.reproj_rmse),
+        "reproj_rmse": (float(rec.reproj_rmse)
+                        if np.isfinite(rec.reproj_rmse) else None),
         "cameras": [
             {"frame": int(f),
              "wt": [float(x) for x in rec.cameras[f]],
              "center": [float(x) for x in centers[k]]}
             for k, f in enumerate(reg)],
-        "unregistered": [int(f) for f in
-                         np.where(~rec.registered)[0]],
+        "unregistered": [int(f) for f in np.where(~exportable)[0]],
     }
     jpath = path_prefix + ".json"
     with open(jpath, "w") as f:
