@@ -99,7 +99,7 @@ def test_incremental_sfm_long_sequence_windowed(rng):
     from sift_tpu.utils.logger import COUNTERS
     COUNTERS.reset()
     cams_true, pts, kp_xy, matches = _synthetic_sequence(
-        rng, n_frames=20, n_pts=260, drop=0.4)
+        rng, n_frames=15, n_pts=240, drop=0.4)
     rec = reconstruct(kp_xy, matches, ba_window=5,
                       retriangulate_every=2)
     assert rec.registered.sum() == len(kp_xy), rec.registered
