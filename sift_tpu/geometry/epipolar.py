@@ -5,11 +5,15 @@ Same TPU-first shape as geometry/homography.py: a fixed, seeded batch
 of minimal samples solved in parallel by vmap, masked inlier counting,
 no data-dependent iteration.
 
-The minimal solver is the normalized 8-point algorithm (the classic
-5-point solver's 10th-degree polynomial root-finding is hostile to
-batched TPU execution; with 8-point over thousands of parallel
-hypotheses the robustness gap closes while every step stays dense
-linear algebra).
+Two minimal solvers, both batched under vmap:
+  * "5pt" (default): Nistér's 5-point (geometry/fivepoint.py) — up to
+    10 essential candidates per minimal sample via a degree-10
+    polynomial solved with fixed-iteration Durand-Kerner (TPU has no
+    nonsymmetric eig). At low inlier ratios (real loop closures) a
+    5-point sample survives contamination ~(1/w)^3 more often than an
+    8-point sample, so far fewer hypotheses reach the same inlier set.
+  * "8pt": the normalized linear 8-point fallback (one candidate per
+    sample, no polynomial machinery).
 """
 
 from __future__ import annotations
@@ -97,16 +101,18 @@ def _decompose(e: jnp.ndarray, p0: jnp.ndarray, p1: jnp.ndarray,
     return rs[best], ts[best], counts[best]
 
 
-@functools.partial(jax.jit, static_argnames=("n_hypotheses",))
+@functools.partial(jax.jit, static_argnames=("n_hypotheses", "solver"))
 def find_essential_ransac(p0: jnp.ndarray, p1: jnp.ndarray,
                           valid: Optional[jnp.ndarray] = None,
                           threshold: float = 1e-3,
                           n_hypotheses: int = 1024,
-                          seed: int = 0) -> EssentialResult:
+                          seed: int = 0,
+                          solver: str = "5pt") -> EssentialResult:
     """RANSAC essential matrix from normalized image coords (N, 2) x2.
 
     threshold is on Sampson distance in normalized coordinates
-    (~pixel_thresh / focal_length).
+    (~pixel_thresh / focal_length). solver: "5pt" (Nistér minimal,
+    up to 10 candidates per sample) or "8pt" (linear fallback).
     """
     n = p0.shape[0]
     p0 = p0.astype(jnp.float32)
@@ -115,18 +121,34 @@ def find_essential_ransac(p0: jnp.ndarray, p1: jnp.ndarray,
         valid = jnp.ones((n,), bool)
 
     key = jax.random.PRNGKey(seed)
-    g = jax.random.gumbel(key, (n_hypotheses, n))
+    # the 5pt solver emits up to 10 candidates per sample; fewer
+    # samples reach the same model count
+    n_samples = (max(n_hypotheses // 8, 32) if solver == "5pt"
+                 else n_hypotheses)
+    g = jax.random.gumbel(key, (n_samples, n))
     g = jnp.where(valid[None, :], g, -jnp.inf)
-    _, samples = jax.lax.top_k(g, 8)
+    _, samples = jax.lax.top_k(g, 5 if solver == "5pt" else 8)
 
-    def hypothesis(idx):
-        e = _eight_point(p0[idx], p1[idx])
-        err = _sampson_sq(e, p0, p1)
-        inl = (err < threshold * threshold) & valid
-        return jnp.sum(inl.astype(jnp.int32)), e
+    if solver == "5pt":
+        from sift_tpu.geometry.fivepoint import essential_candidates_5pt
+
+        def hypothesis(idx):
+            cand, cvalid = essential_candidates_5pt(p0[idx], p1[idx])
+            errs = jax.vmap(lambda e: _sampson_sq(e, p0, p1))(cand)
+            inl = (errs < threshold * threshold) & valid[None, :]
+            cnt = jnp.sum(inl.astype(jnp.int32), axis=1) \
+                * cvalid.astype(jnp.int32)
+            k = jnp.argmax(cnt)
+            return cnt[k], cand[k]
+    else:
+        def hypothesis(idx):
+            e = _eight_point(p0[idx], p1[idx])
+            err = _sampson_sq(e, p0, p1)
+            inl = (err < threshold * threshold) & valid
+            return jnp.sum(inl.astype(jnp.int32)), e
 
     counts, es = jax.lax.map(hypothesis, samples,
-                             batch_size=min(256, n_hypotheses))
+                             batch_size=min(256, n_samples))
     best = jnp.argmax(counts)
     e_best = es[best]
     inliers = (_sampson_sq(e_best, p0, p1) < threshold * threshold) & valid
