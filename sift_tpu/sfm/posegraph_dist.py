@@ -147,19 +147,27 @@ def partition_pose_graph(g: PoseGraph, n_blocks: int) -> PartitionedGraph:
 
 
 def optimize_pose_graph_partitioned(
-        g: PoseGraph, mesh: Mesh, rounds: int = 6,
+        g: PoseGraph, mesh: Mesh, rounds: int | None = None,
         inner_iters: int = 6, lam0: float = 1e-4) -> PoseGraph:
     """Block-Jacobi pose-graph refinement over a mesh (see module doc).
 
     The mesh's first axis size must equal the number of blocks; each
     device runs one block's local Gauss-Newton per round, then blocks
     exchange owned poses with a single psum.
+
+    `rounds` defaults to 3 * n_blocks * n_colors: corrections
+    propagate roughly one block per color cycle under the Gauss-Seidel
+    schedule, so the round count must comfortably exceed the block
+    count (a fixed small default silently under-converges on meshes
+    with many blocks).
     """
     axis = mesh.axis_names[0]
     n_blocks = mesh.shape[axis]
     part = partition_pose_graph(g, n_blocks)
     # static color count: rounds cycle through the schedule colors
     n_colors = int(np.asarray(part.color).max()) + 1
+    if rounds is None:
+        rounds = max(6, 3 * n_blocks * n_colors)
     v = g.poses.shape[0]
 
     def local_rounds(poses, pt: PartitionedGraph):

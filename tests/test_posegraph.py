@@ -69,6 +69,53 @@ def test_loop_closure_fixes_drift(rng):
     assert ate1 < 0.05, ate1
 
 
+def test_long_chain_scales(rng):
+    """O(E) normal-equation assembly: a long drifting chain with loop
+    closures optimizes in unit-test time (the old whole-problem jacfwd
+    built a (6E x 6V) Jacobian — quadratic in trajectory length — and
+    fell over here) and reduces drift."""
+    import time
+    n = 400
+    poses_true = np.zeros((n, 6), np.float32)
+    poses_true[:, 3] = np.arange(n) * 0.25
+    poses_true[:, 1] = np.sin(np.arange(n) * 0.05)
+    edges_i, edges_j, rels, w = [], [], [], []
+    est = np.zeros((n, 6))
+    est[0] = poses_true[0]
+    for i in range(n - 1):
+        rel = _rel(poses_true[i], poses_true[i + 1])
+        noisy = rel + rng.normal(0, 0.005, 6)
+        edges_i.append(i); edges_j.append(i + 1)
+        rels.append(noisy); w.append(1.0)
+        ra = np.asarray(lie.so3_exp(jnp.asarray(est[i, :3], jnp.float32)))
+        rr = np.asarray(lie.so3_exp(jnp.asarray(noisy[:3], jnp.float32)))
+        est[i + 1, :3] = np.asarray(lie.so3_log(jnp.asarray(
+            ra @ rr, jnp.float32)))
+        est[i + 1, 3:] = est[i, 3:] + ra @ noisy[3:]
+    for i in range(0, n - 50, 50):            # periodic loop closures
+        edges_i.append(i); edges_j.append(i + 50)
+        rels.append(_rel(poses_true[i], poses_true[i + 50])); w.append(4.0)
+    fixed = np.zeros(n, bool); fixed[0] = True
+    g = PoseGraph(
+        poses=jnp.asarray(est, jnp.float32),
+        edges_i=jnp.asarray(np.array(edges_i, np.int32)),
+        edges_j=jnp.asarray(np.array(edges_j, np.int32)),
+        rel=jnp.asarray(np.array(rels), jnp.float32),
+        weight=jnp.asarray(np.array(w), jnp.float32),
+        mask=jnp.ones(len(w), bool),
+        fixed=jnp.asarray(fixed))
+    t0 = time.perf_counter()
+    out = optimize_pose_graph(g, iters=8)
+    _ = np.asarray(out.poses)
+    wall = time.perf_counter() - t0
+    ate0 = ate_rmse(camera_centers(est), camera_centers(poses_true),
+                    align=False)
+    ate1 = ate_rmse(camera_centers(np.asarray(out.poses)),
+                    camera_centers(poses_true), align=False)
+    assert ate1 < ate0 * 0.5, (ate0, ate1)
+    assert wall < 120.0, wall   # compile + 8 dense solves, CPU
+
+
 def test_masked_edges_ignored(rng):
     n = 4
     poses = np.zeros((n, 6))
