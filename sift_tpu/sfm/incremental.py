@@ -11,6 +11,18 @@ Pipeline: feature tracks from pairwise matches (union-find) ->
 two-view initialization (essential + triangulate) -> repeated view
 registration (PnP on the 2D-3D overlap) + new-track triangulation ->
 periodic + final bundle adjustment.
+
+Scaling design (round 3): all bookkeeping runs over a FLAT
+observation table (track/frame/kpt/uv/alive arrays, CSR-sorted by
+(track, frame)) in bulk NumPy — BA table assembly, observation
+pruning, overlap counting, and new-track discovery are O(O) array
+passes. The round-2 driver looped per-track Python dicts, which is
+O(F * T) per registration and forced its own long-sequence test down
+to 15 frames; the reference's equivalent "scaling strategy" was
+resizing the input to 960x960 (src/main.cpp:83). Retriangulation is
+one vectorized multi-view midpoint pass over every live track (all
+registered rays, 3x3 normal equations per track via bincount segment
+sums) instead of per-track widest-pair scans that were O(F^2) each.
 """
 
 from __future__ import annotations
@@ -78,6 +90,83 @@ def build_tracks(n_frames: int,
     return tracks
 
 
+class _ObsTable:
+    """Flat observation table: one row per (track, frame) observation,
+    sorted by key = track * n_frames + frame so any batch of
+    (track, frame) lookups is a vectorized searchsorted. Pruning flips
+    `alive` — rows are never deleted, keeping the sort key valid for
+    the whole reconstruction."""
+
+    def __init__(self, tracks: List[Dict[int, int]],
+                 kp_xy: Sequence[np.ndarray], n_frames: int):
+        trk, frm, kpt = [], [], []
+        for ti, tr in enumerate(tracks):
+            for f, k in tr.items():
+                trk.append(ti)
+                frm.append(f)
+                kpt.append(k)
+        trk = np.asarray(trk, np.int64)
+        frm = np.asarray(frm, np.int64)
+        kpt = np.asarray(kpt, np.int64)
+        order = np.argsort(trk * n_frames + frm)
+        self.n_frames = n_frames
+        self.n_tracks = len(tracks)
+        self.track = trk[order].astype(np.int32)
+        self.frame = frm[order].astype(np.int32)
+        self.kpt = kpt[order].astype(np.int32)
+        self.key = (self.track.astype(np.int64) * n_frames
+                    + self.frame)
+        self.uv = np.zeros((len(self.frame), 2), np.float32)
+        for f in np.unique(self.frame):          # O(F) vectorized gathers
+            rows = self.frame == f
+            self.uv[rows] = np.asarray(kp_xy[f],
+                                       np.float32)[self.kpt[rows]]
+        self.alive = np.ones(len(self.track), bool)
+
+    def lookup(self, t: np.ndarray, f) -> Tuple[np.ndarray, np.ndarray]:
+        """Vectorized (track, frame) -> (row index, found & alive)."""
+        q = np.asarray(t, np.int64) * self.n_frames + np.asarray(f)
+        pos = np.searchsorted(self.key, q)
+        pos = np.minimum(pos, max(len(self.key) - 1, 0))
+        ok = (self.key[pos] == q) & self.alive[pos] \
+            if len(self.key) else np.zeros(len(q), bool)
+        return pos, ok
+
+    def tracks_as_dicts(self) -> List[Dict[int, int]]:
+        """Alive observations back as {frame: kpt} dicts (export /
+        compatibility view; O(O) once at the end)."""
+        out: List[Dict[int, int]] = [dict() for _ in range(self.n_tracks)]
+        for t, f, k in zip(self.track[self.alive],
+                           self.frame[self.alive],
+                           self.kpt[self.alive]):
+            out[t][int(f)] = int(k)
+        return out
+
+
+def _so3_exp_np(w: np.ndarray) -> np.ndarray:
+    """Batched NumPy Rodrigues: (F, 3) -> (F, 3, 3). Host twin of
+    lie.so3_exp for the driver's bulk bookkeeping passes (pruning /
+    retriangulation touch every frame every call; device round trips
+    through the remote-TPU tunnel cost ~30 ms each)."""
+    w = np.asarray(w, np.float64)
+    theta2 = np.einsum("fi,fi->f", w, w)
+    theta = np.sqrt(theta2 + 1e-16)
+    t2s = np.maximum(theta2, 1e-16)
+    a = np.where(theta2 > 1e-16, np.sin(theta) / theta,
+                 1.0 - theta2 / 6.0)
+    b = np.where(theta2 > 1e-16, (1.0 - np.cos(theta)) / t2s,
+                 0.5 - theta2 / 24.0)
+    z = np.zeros_like(w[:, 0])
+    k = np.stack([
+        np.stack([z, -w[:, 2], w[:, 1]], -1),
+        np.stack([w[:, 2], z, -w[:, 0]], -1),
+        np.stack([-w[:, 1], w[:, 0], z], -1),
+    ], 1)
+    kk = np.einsum("fij,fjk->fik", k, k)
+    return (np.eye(3)[None] + a[:, None, None] * k
+            + b[:, None, None] * kk)
+
+
 @dataclasses.dataclass
 class Reconstruction:
     """Result of incremental SfM (NumPy, host-side)."""
@@ -89,11 +178,12 @@ class Reconstruction:
     reproj_rmse: float
 
 
-def _ba_tables(tracks, kp_xy, cameras, registered, points, has_point,
+def _ba_tables(table: _ObsTable, cameras, registered, points, has_point,
                obs_cap: Optional[int] = None,
                anchor_frame: Optional[int] = None,
                free_frames: Optional[np.ndarray] = None):
-    """Flatten the current map into a static BAProblem.
+    """Flatten the current map into a static BAProblem (one vectorized
+    pass over the observation table).
 
     Only observations of registered cameras with finite parameters are
     included (a camera whose registration failed must not contribute
@@ -114,26 +204,26 @@ def _ba_tables(tracks, kp_xy, cameras, registered, points, has_point,
     """
     finite_cam = np.isfinite(cameras).all(axis=1)
     usable = registered & finite_cam
-    live_all = np.where(has_point)[0]
+    obs_ok = table.alive & usable[table.frame] & has_point[table.track]
     if free_frames is not None:
-        in_window = np.array(
-            [any(free_frames[f] for f in tracks[t] if usable[f])
-             for t in live_all])
-        live = live_all[in_window] if in_window.size else live_all[:0]
+        touched = np.zeros(table.n_tracks, bool)
+        touched[table.track[obs_ok & free_frames[table.frame]]] = True
+        live_mask = has_point & touched
     else:
-        live = live_all
-    cam_idx, pt_idx, uv = [], [], []
-    remap = {int(t): i for i, t in enumerate(live)}
-    for ti in live:
-        for f, k in tracks[ti].items():
-            if usable[f]:
-                cam_idx.append(f)
-                pt_idx.append(remap[ti])
-                uv.append(kp_xy[f][k])
+        live_mask = has_point
+    sel = obs_ok & live_mask[table.track]
+    live = np.where(live_mask)[0]
+    remap = np.zeros(table.n_tracks, np.int64)
+    remap[live] = np.arange(len(live))
+    cam_idx = table.frame[sel].astype(np.int64)
+    pt_idx = remap[table.track[sel]]
+    uv = table.uv[sel]
+
     o = len(cam_idx)
     cap = obs_cap or _pow2(o, lo=64)
     pad = cap - o
-    mask = np.array([True] * o + [False] * pad)
+    mask = np.zeros(cap, bool)
+    mask[:o] = True
     fixed = ~usable
     if free_frames is not None:
         fixed = fixed | ~free_frames
@@ -151,9 +241,12 @@ def _ba_tables(tracks, kp_xy, cameras, registered, points, has_point,
     prob = BAProblem(
         cameras=jnp.asarray(safe_cameras, jnp.float32),
         points=jnp.asarray(pts, jnp.float32),
-        cam_idx=jnp.asarray(np.array(cam_idx + [0] * pad, np.int32)),
-        pt_idx=jnp.asarray(np.array(pt_idx + [0] * pad, np.int32)),
-        uv=jnp.asarray(np.array(uv + [[0.0, 0.0]] * pad, np.float32)),
+        cam_idx=jnp.asarray(np.concatenate(
+            [cam_idx, np.zeros(pad, np.int64)]).astype(np.int32)),
+        pt_idx=jnp.asarray(np.concatenate(
+            [pt_idx, np.zeros(pad, np.int64)]).astype(np.int32)),
+        uv=jnp.asarray(np.concatenate(
+            [uv, np.zeros((pad, 2), np.float32)]).astype(np.float32)),
         mask=jnp.asarray(mask),
         fixed_cams=jnp.asarray(fixed))
     return prob, live
@@ -182,20 +275,24 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
     ba_window: periodic BA optimizes only the last `ba_window`
         registered frames (plus their tracks) — bounded incremental
         cost; None = global. The final BA is always global.
-    retriangulate_every: refresh live points from their widest-
-        baseline pair every N-th periodic BA (0 disables).
+    retriangulate_every: refresh live points from all their registered
+        rays (multi-view midpoint) every N-th periodic BA (0 disables).
     prune_factor: after each BA, drop observations with reprojection
         error > prune_factor * ransac_threshold (COLMAP-style track
         filtering; 0 disables).
     """
     n_frames = len(kp_xy)
     tracks = build_tracks(n_frames, matches)
-    n_tracks = len(tracks)
+    table = _ObsTable(tracks, kp_xy, n_frames)
+    n_tracks = table.n_tracks
     cameras = np.zeros((n_frames, 6), np.float64)
     registered = np.zeros(n_frames, bool)
     failed = np.zeros(n_frames, bool)   # PnP-rejected views: never BA'd
     points = np.zeros((n_tracks, 3), np.float64)
     has_point = np.zeros(n_tracks, bool)
+
+    def usable_frames():
+        return registered & np.isfinite(cameras).all(axis=1)
 
     # pad two-view correspondences to a static capacity
     def pad2(a, cap):
@@ -210,10 +307,16 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
     # Batches are padded to powers of two so `triangulate` compiles
     # once per ladder step, not once per batch size.
     def tri_tracks(track_ids, fa, fb) -> int:
+        track_ids = np.asarray(track_ids, np.int64)
         ra, ta = _pose_rt(cameras[fa])
         rb, tb = _pose_rt(cameras[fb])
-        pa = np.stack([kp_xy[fa][tracks[t][fa]] for t in track_ids])
-        pb = np.stack([kp_xy[fb][tracks[t][fb]] for t in track_ids])
+        ia, oka = table.lookup(track_ids, fa)
+        ib, okb = table.lookup(track_ids, fb)
+        keep = oka & okb
+        track_ids, ia, ib = track_ids[keep], ia[keep], ib[keep]
+        if not len(track_ids):
+            return 0
+        pa, pb = table.uv[ia], table.uv[ib]
         n = len(track_ids)
         cap = _pow2(n, lo=16)
         pa_p = np.zeros((cap, 2), np.float32)
@@ -226,67 +329,95 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
         za = (x @ ra.T + ta)[:, 2]
         zb = (x @ rb.T + tb)[:, 2]
         good = (za > 1e-3) & (zb > 1e-3) & np.isfinite(x).all(axis=1)
-        n_new = 0
-        for t, xi, g in zip(track_ids, x, good):
-            if g:
-                points[t] = xi
-                has_point[t] = True
-                n_new += 1
-        return n_new
-
-    def widest_pair(fs):
-        """Registered frame pair with the widest baseline (best
-        triangulation conditioning)."""
-        centers = {f: -_pose_rt(cameras[f])[0].T @ cameras[f, 3:]
-                   for f in fs}
-        best, bd = (fs[0], fs[-1]), -1.0
-        for i, fa in enumerate(fs):
-            for fb in fs[i + 1:]:
-                d = float(np.linalg.norm(centers[fa] - centers[fb]))
-                if d > bd:
-                    best, bd = (fa, fb), d
-        return best
+        points[track_ids[good]] = x[good]
+        has_point[track_ids[good]] = True
+        return int(good.sum())
 
     def retriangulate():
-        """Refresh live points from their widest-baseline view pair:
-        early two-view triangulations improve as later registrations
-        widen each track's baseline."""
-        by_pair: Dict[Tuple[int, int], List[int]] = {}
-        for t in np.where(has_point)[0]:
-            fs = [f for f in tracks[t]
-                  if registered[f] and np.isfinite(cameras[f]).all()]
-            if len(fs) >= 2:
-                by_pair.setdefault(widest_pair(fs), []).append(int(t))
-        for (fa, fb), tl in by_pair.items():
-            tri_tracks(tl, fa, fb)
+        """Refresh every live point from ALL its registered rays in one
+        vectorized multi-view midpoint pass: per observation the ray
+        (camera center, world direction), per track the 3x3 normal
+        system sum_o (I - d d^T) x = sum_o (I - d d^T) c accumulated
+        with bincount segment sums. Early two-view triangulations
+        improve as later registrations widen each track's baseline;
+        using all rays (not just the widest pair) both conditions the
+        refresh better and removes the old per-track O(F^2)
+        widest-pair scans."""
+        usable = usable_frames()
+        sel = table.alive & usable[table.frame] & has_point[table.track]
+        idx = np.where(sel)[0]
+        if not len(idx):
+            return
+        f = table.frame[idx].astype(np.int64)
+        t = table.track[idx].astype(np.int64)
+        rw = _so3_exp_np(cameras[:, :3])          # (F, 3, 3)
+        centers = -np.einsum("fij,fi->fj", rw, cameras[:, 3:])
+        d_cam = np.concatenate(
+            [table.uv[idx].astype(np.float64),
+             np.ones((len(idx), 1))], 1)
+        d_cam /= np.linalg.norm(d_cam, axis=1, keepdims=True)
+        d = np.einsum("oij,oi->oj", rw[f], d_cam)  # world directions
+        m = np.eye(3)[None] - d[:, :, None] * d[:, None, :]  # (O,3,3)
+        mc = np.einsum("oij,oj->oi", m, centers[f])
+        a9 = np.stack(
+            [np.bincount(t, weights=m[:, i, j], minlength=n_tracks)
+             for i in range(3) for j in range(3)], 1)
+        b3 = np.stack(
+            [np.bincount(t, weights=mc[:, i], minlength=n_tracks)
+             for i in range(3)], 1)
+        cnt = np.bincount(t, minlength=n_tracks)
+        live = np.where((cnt >= 2) & has_point)[0]
+        if not len(live):
+            return
+        a = a9[live].reshape(-1, 3, 3)
+        det = np.linalg.det(a)
+        solvable = np.abs(det) > 1e-9
+        x = np.zeros((len(live), 3))
+        if solvable.any():
+            x[solvable] = np.linalg.solve(
+                a[solvable], b3[live][solvable][:, :, None])[:, :, 0]
+        # cheirality over every contributing ray: a track is refreshed
+        # only if ALL its registered observations see the new point in
+        # front of the camera
+        remap = np.full(n_tracks, -1, np.int64)
+        remap[live] = np.arange(len(live))
+        z = (np.einsum("oij,oj->oi", rw[f], x[remap[t]])
+             + cameras[f, 3:])[:, 2]
+        n_behind = np.bincount(t, weights=(z <= 1e-3).astype(np.float64),
+                               minlength=n_tracks)[live]
+        ok = solvable & (n_behind == 0) & np.isfinite(x).all(axis=1)
+        points[live[ok]] = x[ok]
 
     def prune_observations(max_err: float) -> int:
         """COLMAP-style track filtering: drop observations whose
         reprojection error exceeds max_err (wrong-correspondence
         matches poison BA long before robust losses saturate); tracks
-        left with <2 registered views lose their point. Returns the
-        number of observations removed."""
-        n_dropped = 0
-        for t in np.where(has_point)[0]:
-            bad = []
-            for f, k in tracks[t].items():
-                if not (registered[f] and np.isfinite(cameras[f]).all()):
-                    continue
-                r, tt = _pose_rt(cameras[f])
-                xc = r @ points[t] + tt
-                if xc[2] <= 1e-6:
-                    bad.append(f)
-                    continue
-                err = np.linalg.norm(xc[:2] / xc[2] - kp_xy[f][k])
-                if err > max_err:
-                    bad.append(f)
-            for f in bad:
-                del tracks[t][f]
-                n_dropped += 1
-            n_reg = sum(1 for f in tracks[t] if registered[f])
-            if len(tracks[t]) < 2 or n_reg < 2:
-                has_point[t] = False
-        return n_dropped
+        left with <2 registered views lose their point. One vectorized
+        pass over the observation table; returns the number of
+        observations removed."""
+        usable = usable_frames()
+        sel = table.alive & usable[table.frame] & has_point[table.track]
+        idx = np.where(sel)[0]
+        if not len(idx):
+            return 0
+        f = table.frame[idx].astype(np.int64)
+        t = table.track[idx].astype(np.int64)
+        rw = _so3_exp_np(cameras[:, :3])
+        xc = (np.einsum("oij,oj->oi", rw[f], points[t])
+              + cameras[f, 3:])
+        z = xc[:, 2]
+        err = np.linalg.norm(
+            xc[:, :2] / np.maximum(z, 1e-12)[:, None]
+            - table.uv[idx], axis=1)
+        bad = (z <= 1e-6) | (err > max_err)
+        table.alive[idx[bad]] = False
+        alive_reg = table.alive & registered[table.frame]
+        cnt_reg = np.bincount(table.track[alive_reg],
+                              minlength=n_tracks)
+        cnt_all = np.bincount(table.track[table.alive],
+                              minlength=n_tracks)
+        has_point[(cnt_all < 2) | (cnt_reg < 2)] = False
+        return int(bad.sum())
 
     # --- initialization: try pairs by match count until one yields a
     # well-conditioned baseline (near-pure-rotation pairs triangulate
@@ -309,9 +440,12 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
         cameras[j0, :3] = np.asarray(lie.so3_log(res.R))
         cameras[j0, 3:] = np.asarray(res.t)
         registered[i0] = registered[j0] = True
-        init_tracks = [t for t in range(n_tracks)
-                       if i0 in tracks[t] and j0 in tracks[t]]
-        n_ok = tri_tracks(init_tracks, i0, j0) if init_tracks else 0
+        # tracks observed in BOTH init frames (vectorized lookups)
+        all_t = np.arange(n_tracks, dtype=np.int64)
+        _, in_i0 = table.lookup(all_t, i0)
+        _, in_j0 = table.lookup(all_t, j0)
+        init_tracks = all_t[in_i0 & in_j0]
+        n_ok = tri_tracks(init_tracks, i0, j0) if len(init_tracks) else 0
         if n_ok >= min_pnp_points:
             init_done = True
             break
@@ -331,22 +465,19 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
     n_bas = 0
     reg_order: List[int] = [i0, j0]
     while True:
-        # candidate view with largest 2D-3D overlap
-        best_f, best_overlap = -1, 0
-        overlaps: Dict[int, List[int]] = {}
-        for t in np.where(has_point)[0]:
-            for f in tracks[t]:
-                if not registered[f] and not failed[f]:
-                    overlaps.setdefault(f, []).append(int(t))
-        for f, ts in overlaps.items():
-            if len(ts) > best_overlap:
-                best_f, best_overlap = f, len(ts)
-        if best_f < 0 or best_overlap < min_pnp_points:
+        # candidate view with largest 2D-3D overlap (one bincount)
+        cand = (table.alive & has_point[table.track]
+                & ~registered[table.frame] & ~failed[table.frame])
+        counts = np.bincount(table.frame[cand], minlength=n_frames)
+        best_f = int(counts.argmax())
+        best_overlap = int(counts[best_f])
+        if best_overlap < min_pnp_points:
             break
 
-        ts = overlaps[best_f]
+        rows = cand & (table.frame == best_f)
+        ts = table.track[rows].astype(np.int64)
         x3 = points[ts]
-        p2 = np.stack([kp_xy[best_f][tracks[t][best_f]] for t in ts])
+        p2 = table.uv[rows]
         cap = _pow2(len(ts), lo=16) * 2
         x3p, maskp = pad2(x3, cap)
         p2p, _ = pad2(p2, cap)
@@ -364,20 +495,27 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
         cameras[best_f, :3] = np.asarray(lie.so3_log(pres.R))
         cameras[best_f, 3:] = np.asarray(pres.t)
 
-        # triangulate new tracks now visible from >= 2 registered views
-        new_tracks = []
-        for t in range(n_tracks):
-            if has_point[t]:
-                continue
-            fs = [f for f in tracks[t]
-                  if registered[f] and np.isfinite(cameras[f]).all()]
-            if len(fs) >= 2:
-                new_tracks.append((t, fs[0], fs[-1]))
-        by_pair: Dict[Tuple[int, int], List[int]] = {}
-        for t, fa, fb in new_tracks:
-            by_pair.setdefault((fa, fb), []).append(t)
-        for (fa, fb), tl in by_pair.items():
-            tri_tracks(tl, fa, fb)
+        # triangulate new tracks now visible from >= 2 registered
+        # views: per-track first/last registered frame via segment
+        # min/max over the table, grouped by frame pair
+        usable = usable_frames()
+        reg_obs = table.alive & usable[table.frame]
+        cnt = np.bincount(table.track[reg_obs], minlength=n_tracks)
+        new_mask = ~has_point & (cnt >= 2)
+        sel = reg_obs & new_mask[table.track]
+        if sel.any():
+            tsel = table.track[sel].astype(np.int64)
+            fsel = table.frame[sel].astype(np.int64)
+            fa = np.full(n_tracks, n_frames, np.int64)
+            fb = np.full(n_tracks, -1, np.int64)
+            np.minimum.at(fa, tsel, fsel)
+            np.maximum.at(fb, tsel, fsel)
+            new_t = np.where(new_mask)[0]
+            pair_key = fa[new_t] * n_frames + fb[new_t]
+            for key in np.unique(pair_key):
+                grp = new_t[pair_key == key]
+                tri_tracks(grp, int(key // n_frames),
+                           int(key % n_frames))
 
         n_since_ba += 1
         if n_since_ba >= ba_every and has_point.any():
@@ -389,7 +527,7 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
             if ba_window is not None:
                 free = np.zeros(n_frames, bool)
                 free[reg_order[-ba_window:]] = True
-            prob, live = _ba_tables(tracks, kp_xy, cameras, registered,
+            prob, live = _ba_tables(table, cameras, registered,
                                     points, has_point, anchor_frame=i0,
                                     free_frames=free)
             out = bundle_adjust(prob, iters=ba_iters, loss="cauchy",
@@ -404,7 +542,7 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
         raise RuntimeError("reconstruction has no 3-D points")
     if retriangulate_every:
         retriangulate()
-    prob, live = _ba_tables(tracks, kp_xy, cameras, registered,
+    prob, live = _ba_tables(table, cameras, registered,
                             points, has_point, anchor_frame=i0)
     out = bundle_adjust(prob, iters=ba_iters * 2, loss="cauchy",
                         huber_delta=ransac_threshold)
@@ -413,7 +551,7 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
     if prune_factor and prune_observations(
             prune_factor * ransac_threshold) and has_point.any():
         # contaminated observations left the table: one more clean BA
-        prob, live = _ba_tables(tracks, kp_xy, cameras, registered,
+        prob, live = _ba_tables(table, cameras, registered,
                                 points, has_point, anchor_frame=i0)
         out = bundle_adjust(prob, iters=ba_iters, loss="cauchy",
                             huber_delta=ransac_threshold)
@@ -424,4 +562,5 @@ def reconstruct(kp_xy: Sequence[np.ndarray],
     cameras[failed] = np.nan        # mark unregisterable views clearly
     return Reconstruction(cameras=cameras, registered=registered,
                           points=points, has_point=has_point,
-                          tracks=tracks, reproj_rmse=rmse)
+                          tracks=table.tracks_as_dicts(),
+                          reproj_rmse=rmse)
