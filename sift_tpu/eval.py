@@ -268,31 +268,43 @@ def main(argv=None) -> int:
         rr = report["reference_recall"]
         krs = ([r["keypoint_recall_scene"] for r in rr]
                + [r["keypoint_recall_object"] for r in rr])
-        # weighted mean for reporting; the GATE below uses the
-        # per-pair MINIMUM so a single-config collapse can't hide in
-        # an average (tiny pairs still shouldn't fail the match gate
-        # on one missing match, so their recall is floored by count)
+        # weighted mean for reporting; the GATE below is per-pair so a
+        # single-config collapse can't hide in an average. Per pair:
+        # absolute misses <= 1 always passes (one borderline match is
+        # noise at any size), otherwise raw recall must clear the
+        # threshold AND the pair must have >= 10 reference matches for
+        # the ratio to mean anything. A small pair (< 10 matches) with
+        # >= 2 misses fails outright — the round-2 floor that forgave
+        # one miss regardless of pair size let a 2-match pair pass at
+        # 50% recall; misses are bounded now, not erased.
         w = np.array([r["ref_good_matches"] for r in rr], float)
         mrs = np.array([r["match_recall"] for r in rr])
-        def _pair_mr(r):
+
+        def _pair_gate_ok(r):
             n_ref = max(r["ref_good_matches"], 1)
             misses = round((1.0 - r["match_recall"]) * n_ref)
-            return 1.0 if misses <= 1 else r["match_recall"]
-        min_mr = min(_pair_mr(r) for r in rr)
+            if misses <= 1:
+                return True
+            return (n_ref >= 10
+                    and r["match_recall"] >= GATES["min_match_recall"])
+
+        match_pairs_failed = [r["pair"] for r in rr
+                              if not _pair_gate_ok(r)]
         report["summary"]["min_keypoint_recall"] = round(min(krs), 4)
         report["summary"]["mean_keypoint_recall"] = round(
             float(np.mean(krs)), 4)
         report["summary"]["match_recall"] = round(
             float((w * mrs).sum() / w.sum()), 4)
-        report["summary"]["min_match_recall"] = round(min_mr, 4)
+        report["summary"]["min_match_recall"] = round(float(mrs.min()), 4)
+        report["summary"]["match_pairs_failed"] = match_pairs_failed
 
     s = report["summary"]
     failures = []
     if "reference_recall" in report:
         if s["min_keypoint_recall"] < GATES["min_keypoint_recall"]:
             failures.append("keypoint_recall")
-        if min(s["match_recall"], s["min_match_recall"]) \
-                < GATES["min_match_recall"]:
+        if (s["match_recall"] < GATES["min_match_recall"]
+                or s["match_pairs_failed"]):
             failures.append("match_recall")
     if s["mean_repeatability"] is not None:
         if s["mean_repeatability"] < GATES["min_mean_repeatability"]:

@@ -27,6 +27,11 @@ PAIRS = {
     "viewpoint": ("query_960", "2ndviewpoint_960", False),
     # the headline benchmark configuration: scene at 1920x1080
     "book1080": ("scene_1920x1080", "book.jpg", False),
+    # high-match-count pairs (match-recall gate statistical teeth)
+    "rotate1080": ("query_1920x1080", "rotate_1920x1080", False),
+    "viewpoint1080": ("query_1920x1080", "2ndviewpoint_1920x1080",
+                      False),
+    "selfscale": ("scene.jpg", "scene_1920x1080", False),
 }
 
 
