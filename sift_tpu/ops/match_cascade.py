@@ -60,6 +60,13 @@ def match_ratio_cascade(query: jnp.ndarray, train: jnp.ndarray,
     """
     n, d = query.shape
     m = train.shape[0]
+    if n == 0:
+        # empty query frame: the tiling below would divide by
+        # tile_n == 0 at trace time; nothing to match
+        return Matches(jnp.zeros((0,), jnp.int32),
+                       jnp.zeros((0,), jnp.int32),
+                       jnp.zeros((0,), jnp.float32),
+                       jnp.zeros((0,), bool))
     if m < 2:
         # BFMatcher k=2 semantics need two train rows; nothing can be
         # a good match (and lax.top_k(k=2) would reject m==1)

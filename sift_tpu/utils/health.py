@@ -40,6 +40,14 @@ def mesh_health_check(mesh, timeout_s: float = 30.0) -> bool:
     fails the count, and a HUNG collective fails the deadline — the
     host pull runs in a daemon thread so this call always returns
     within ~timeout_s even when the device never does.
+
+    A False return does NOT distinguish "a chip detached" from "the
+    backend is wedged": on timeout the hung collective is still
+    running on the daemon thread and the runtime may stay wedged
+    behind it, so retrying device work from the same process can
+    block on the same wedge. Treat False as 'this process's view of
+    the mesh is unusable' — restart the process (the north-star
+    recovery unit) rather than retrying in place.
     """
     import threading
 

@@ -41,6 +41,17 @@ def test_cascade_agrees_with_exact_on_corpus(corpus_descs):
     assert ge.sum() > 20   # the comparison is non-vacuous
 
 
+def test_cascade_empty_query():
+    """n==0 queries must not crash the tiling (ZeroDivisionError at
+    trace time, round-2 advisor finding)."""
+    rng = np.random.default_rng(3)
+    t = np.abs(rng.random((64, 128)).astype(np.float32))
+    out = match_ratio_cascade(jnp.zeros((0, 128), jnp.float32),
+                              jnp.asarray(t))
+    assert out.good.shape == (0,)
+    assert out.train_idx.shape == (0,)
+
+
 def test_cascade_respects_masks():
     rng = np.random.default_rng(1)
 
