@@ -115,9 +115,80 @@ def bench_stages() -> None:
     print(json.dumps(out))
 
 
+def bench_batch(batch: int) -> None:
+    """Throughput operating point: B frames per dispatch on ONE chip
+    (detect_and_compute_batch + batched matcher), frames/s/chip.
+
+    Latency mode (the default bench) dispatches one frame at a time
+    and underfills the chip on small octaves; this measures the
+    batched path and writes BENCH_BATCH.json alongside the latency
+    number for comparison.
+    """
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    from sift_tpu import sift
+    from sift_tpu.config import DEFAULT_CONFIG as CFG
+    from sift_tpu.ops import match as match_mod
+
+    import cv2
+    big = cv2.imread("/root/reference/data/scene.jpg")
+    frames = []
+    for i in range(batch):
+        crop = big[:, (17 * i) % 128:]
+        frames.append(cv2.cvtColor(cv2.resize(crop, (1920, 1080)),
+                                   cv2.COLOR_RGB2GRAY).astype(np.float32))
+    fb = jnp.asarray(np.stack(frames))
+
+    def step(x):
+        kp, d = sift.detect_and_compute_batch(x, CFG)
+        # consecutive-frame matching, vmapped over the batch (B-1 pairs)
+        def m(di, vi, dj, vj):
+            r = match_mod.match_ratio(di, dj, q_valid=vi, t_valid=vj,
+                                      ratio=CFG.match_ratio)
+            return jnp.sum(r.distance * r.good)
+        ms = jax.vmap(m)(d[1:], kp.valid[1:], d[:-1], kp.valid[:-1])
+        return jnp.sum(ms) + jnp.sum(kp.x[:, :4])
+
+    def run_chain(k: int, seed: float) -> float:
+        t0 = time.perf_counter()
+        acc = jnp.float32(seed)
+        for _ in range(k):
+            acc = step(fb + acc * 1e-9)
+        float(np.asarray(acc))
+        return time.perf_counter() - t0
+
+    run_chain(1, 0.5)
+    t1 = min(run_chain(1, 0.7 + i * 0.01) for i in range(3))
+    k = 6
+    tk = min(run_chain(k, 0.9 + i * 0.01) for i in range(2))
+    sec_per_step = max((tk - t1) / (k - 1), 1e-9)
+    frames_per_s = batch / sec_per_step
+
+    ref_fps = 1.0 / REF_SECONDS_PER_FRAME_1080P
+    result = {
+        "metric": f"detect_describe_match_1080p_batch{batch}",
+        "value": round(frames_per_s, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(frames_per_s / ref_fps, 2),
+    }
+    out = dict(result)
+    out["backend"] = jax.default_backend()
+    out["sec_per_step"] = round(sec_per_step, 4)
+    with open("BENCH_BATCH.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"# backend={jax.default_backend()} "
+          f"sec_per_step={sec_per_step:.4f} t1={t1:.3f} tk={tk:.3f}",
+          file=sys.stderr)
+    print(json.dumps(result))
+
+
 def main() -> None:
     if "--stages" in sys.argv:
         bench_stages()
+        return
+    if "--batch" in sys.argv:
+        bench_batch(int(sys.argv[sys.argv.index("--batch") + 1]))
         return
     _enable_compile_cache()
     import jax

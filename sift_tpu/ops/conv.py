@@ -58,16 +58,51 @@ def _zero_last_row_col(img: jnp.ndarray) -> jnp.ndarray:
     return img.at[-1, :].set(0.0).at[:, -1].set(0.0)
 
 
-def gaussian_blur_multi(img: jnp.ndarray,
-                        sigmas: Sequence[float]) -> jnp.ndarray:
-    """Blur one image with several sigmas at once: (H, W) -> (S, H, W).
+def gaussian_blur_multi_batch(imgs: jnp.ndarray,
+                              sigmas: Sequence[float]) -> jnp.ndarray:
+    """Blur a batch of images with several sigmas: (B, H, W) -> (B, S, H, W).
 
-    Functional twin of S calls to Gaussian_Blur (src/sift.cpp:123-153),
-    run as one separable batched convolution.
+    Same math as gaussian_blur_multi with the frame batch riding the
+    conv's N dimension (the single-chip throughput path batches frames
+    to fill the MXU; small octaves underfill it one frame at a time).
     """
     kmat, w = _stack_kernels(sigmas)
     s = kmat.shape[0]
-    x = _zero_last_row_col(img.astype(jnp.float32))[None, None]  # (1,1,H,W)
+    x = imgs.astype(jnp.float32)
+    x = x.at[:, -1, :].set(0.0).at[:, :, -1].set(0.0)  # getSubMatrix quirk
+    x = x[:, None]                                     # (B, 1, H, W)
+    rhs_v = jnp.asarray(kmat)[:, None, :, None]
+    v = jax.lax.conv_general_dilated(
+        x, rhs_v, window_strides=(1, 1),
+        padding=((w, w), (0, 0)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)           # (B, S, H, W)
+    rhs_h = jnp.asarray(kmat)[:, None, None, :]
+    h = jax.lax.conv_general_dilated(
+        v, rhs_h, window_strides=(1, 1),
+        padding=((0, 0), (w, w)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=s,
+        precision=jax.lax.Precision.HIGHEST)           # (B, S, H, W)
+    return h
+
+
+def gaussian_blur_multi(img: jnp.ndarray,
+                        sigmas: Sequence[float],
+                        apply_quirk: bool = True) -> jnp.ndarray:
+    """Blur one image with several sigmas at once: (H, W) -> (S, H, W).
+
+    Functional twin of S calls to Gaussian_Blur (src/sift.cpp:123-153),
+    run as one separable batched convolution. apply_quirk=False skips
+    the last-row/col zeroing (spatially-tiled callers pre-apply it at
+    the GLOBAL image edge; a tile's last row is usually interior).
+    """
+    kmat, w = _stack_kernels(sigmas)
+    s = kmat.shape[0]
+    x = img.astype(jnp.float32)
+    if apply_quirk:
+        x = _zero_last_row_col(x)
+    x = x[None, None]                                 # (1,1,H,W)
     # vertical pass: out channels = S
     rhs_v = jnp.asarray(kmat)[:, None, :, None]   # (S, 1, kmax, 1)
     v = jax.lax.conv_general_dilated(

@@ -47,20 +47,28 @@ def _interpret() -> bool:
 
 
 def _make_vpass(kmat: np.ndarray, w: int, bh: int, wd: int, s_in: int):
-    """Vertical-pass kernel body for one (scale, row-block) instance.
+    """Vertical-pass kernel body for one (batch*scale, row-block)
+    instance.
 
-    s_in == 1 broadcasts one base image to all S scale outputs (first
-    pass); s_in == S blurs each scale plane with its own taps (second
-    pass, applied to the transposed first-pass output).
+    Grid axis 0 runs over batch*S flattened (batch-of-frames support
+    for the throughput path; the single-image path is batch == 1).
+    Per instance, si = id0 % S selects the taps; s_in == 1 broadcasts
+    each frame's one base image to all S of its scale outputs (first
+    pass), s_in == S blurs each (frame, scale) plane with its own taps
+    (second pass, applied to the transposed first-pass output). The
+    kernel body unrolls only over S, so Mosaic compile time is
+    invariant in the batch size.
     """
     s, k = kmat.shape
     taps = [[float(kmat[si, di]) for di in range(k)] for si in range(s)]
     slab_rows = -(-(bh + 2 * w) // 8) * 8   # DMA slices need 8-aligned rows
 
     def kernel(pin_hbm, out_ref, slab_ref, sem):
-        si = pl.program_id(0)
+        bs = pl.program_id(0)
         rb = pl.program_id(1)
-        src = 0 if s_in == 1 else si
+        si = jax.lax.rem(bs, s)
+        b = jax.lax.div(bs, s)
+        src = b * s_in + (0 if s_in == 1 else si)
         dma = pltpu.make_async_copy(
             pin_hbm.at[src, pl.ds(rb * bh, slab_rows), :],
             slab_ref, sem)
@@ -82,10 +90,12 @@ def _make_vpass(kmat: np.ndarray, w: int, bh: int, wd: int, s_in: int):
 
 
 def _vpass(x: jnp.ndarray, kmat: np.ndarray, w: int,
-           interpret: bool) -> jnp.ndarray:
-    """(s_in, H, W) -> (S, H, W): per-scale vertical blur."""
+           interpret: bool, n_batch: int = 1) -> jnp.ndarray:
+    """(n_batch * s_in, H, W) -> (n_batch * S, H, W) vertical blur,
+    where s_in is 1 (first pass, base broadcast) or S (second pass)."""
     s = kmat.shape[0]
     s_in, h, wd = x.shape
+    s_in //= n_batch
     bh = min(_BH, max(8, -(-h // 8) * 8))
     nrb = pl.cdiv(h, bh)
     hp = nrb * bh
@@ -98,11 +108,12 @@ def _vpass(x: jnp.ndarray, kmat: np.ndarray, w: int,
     kernel = _make_vpass(kmat, w, bh, wp, s_in)
     out = pl.pallas_call(
         kernel,
-        grid=(s, nrb),
+        grid=(n_batch * s, nrb),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, bh, wp), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((s, hp, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_batch * s, hp, wp),
+                                       jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((slab_rows, wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -110,8 +121,9 @@ def _vpass(x: jnp.ndarray, kmat: np.ndarray, w: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=2 * s * hp * wp * kmat.shape[1],
-            bytes_accessed=(s_in + s) * hp * wp * 4, transcendentals=0),
+            flops=2 * n_batch * s * hp * wp * kmat.shape[1],
+            bytes_accessed=n_batch * (s_in + s) * hp * wp * 4,
+            transcendentals=0),
         interpret=interpret,
     )(pin)
     return out[:, :h, :wd]
@@ -132,3 +144,27 @@ def gaussian_blur_multi_pallas(img: jnp.ndarray,
     """Blur one image with several sigmas at once: (H, W) -> (S, H, W)."""
     return _blur_multi(img, tuple(float(s) for s in sigmas),
                        _interpret())
+
+
+@functools.partial(jax.jit, static_argnames=("sigmas", "interpret"))
+def _blur_multi_b(imgs: jnp.ndarray, sigmas, interpret: bool
+                  ) -> jnp.ndarray:
+    nb = imgs.shape[0]
+    kmat, w = _stack_kernels(list(sigmas))
+    s = kmat.shape[0]
+    x = imgs.astype(jnp.float32)
+    x = x.at[:, -1, :].set(0.0).at[:, :, -1].set(0.0)
+    v = _vpass(x, kmat, w, interpret, n_batch=nb)      # (B*S, H, W)
+    vt = jnp.transpose(v, (0, 2, 1))                   # (B*S, W, H)
+    ht = _vpass(vt, kmat, w, interpret, n_batch=nb)    # (B*S, W, H)
+    out = jnp.transpose(ht, (0, 2, 1))                 # (B*S, H, W)
+    return out.reshape(nb, s, *imgs.shape[1:])
+
+
+def gaussian_blur_multi_batch_pallas(imgs: jnp.ndarray,
+                                     sigmas: Sequence[float]
+                                     ) -> jnp.ndarray:
+    """Batched frames: (B, H, W) -> (B, S, H, W); one pallas_call per
+    pass with the batch flattened into the grid (throughput path)."""
+    return _blur_multi_b(imgs, tuple(float(s) for s in sigmas),
+                         _interpret())

@@ -94,6 +94,72 @@ def _top_k_two_stage(score: jnp.ndarray, cap: int,
     return out_v, out_i
 
 
+def _top_k_two_stage_batch(score: jnp.ndarray, cap: int,
+                           blk: int = 4096, kb: int = 128):
+    """Batched (B, N) variant of _top_k_two_stage.
+
+    The saturation fallback is decided ONCE over the whole batch (any
+    frame's block saturated -> exact path for all): under vmap a
+    lax.cond lowers to select and runs BOTH branches every time, which
+    would always pay the full-sort cost the two-stage form exists to
+    avoid — so the cond stays at batch level here.
+    """
+    nb, n = score.shape
+    if n <= 2 * blk or n <= cap:
+        return jax.lax.top_k(score, min(cap, n))
+    pad = (-n) % blk
+    s = jnp.pad(score, ((0, 0), (0, pad)), constant_values=-1.0)
+    rows = s.reshape(nb, -1, blk)
+    kb = min(kb, cap)
+    v1, i1 = jax.lax.top_k(rows, kb)                 # (B, nblk, kb)
+    saturated = jnp.any(v1[:, :, -1] > 0.0)
+    base = jnp.arange(rows.shape[1], dtype=jnp.int32)[None, :, None] * blk
+    flat_idx = (i1 + base).reshape(nb, -1)
+    k2 = min(cap, flat_idx.shape[1])
+
+    def fast(_):
+        v2, i2 = jax.lax.top_k(v1.reshape(nb, -1), k2)
+        return v2, jnp.take_along_axis(flat_idx, i2, axis=1)
+
+    def exact(_):
+        v2, i2 = jax.lax.top_k(s, k2)
+        return v2, i2.astype(jnp.int32)
+
+    out_v, out_i = jax.lax.cond(saturated, exact, fast, operand=None)
+    if k2 < cap:
+        out_v = jnp.pad(out_v, ((0, 0), (0, cap - k2)),
+                        constant_values=-1.0)
+        out_i = jnp.pad(out_i, ((0, 0), (0, cap - k2)))
+    return out_v, out_i
+
+
+def top_candidates_batch(dog: jnp.ndarray, cap: int,
+                         cfg: SIFTConfig = DEFAULT_CONFIG
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                    jnp.ndarray, jnp.ndarray]:
+    """Batched frames: (B, D, H, W) -> (layer, r, c, valid), each
+    (B, cap). Same semantics per frame as top_candidates."""
+    nl = cfg.n_octave_layers
+    nb, _, h, w = dog.shape
+    if jax.default_backend() == "tpu":
+        from sift_tpu.ops.extrema_pallas import extrema_scores_batch_pallas
+        score = extrema_scores_batch_pallas(dog, cfg).reshape(nb, -1)
+    else:
+        mask = jax.vmap(lambda d: extrema_mask(d, cfg))(dog)
+        score = jnp.where(mask, jnp.abs(dog[:, 1:1 + nl]),
+                          -1.0).reshape(nb, -1)
+    k = min(cap, score.shape[1])
+    vals, idx = _top_k_two_stage_batch(score, k)
+    if k < cap:
+        vals = jnp.pad(vals, ((0, 0), (0, cap - k)),
+                       constant_values=-1.0)
+        idx = jnp.pad(idx, ((0, 0), (0, cap - k)))
+    layer = idx // (h * w) + 1
+    rem = idx % (h * w)
+    return (layer.astype(jnp.int32), (rem // w).astype(jnp.int32),
+            (rem % w).astype(jnp.int32), vals > 0.0)
+
+
 def top_candidates(dog: jnp.ndarray, cap: int,
                    cfg: SIFTConfig = DEFAULT_CONFIG
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,

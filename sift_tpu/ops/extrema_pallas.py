@@ -34,15 +34,19 @@ def _interpret() -> bool:
 
 
 def _make_kernel(cfg: SIFTConfig, d: int, h: int, w: int,
-                 bh: int, slab_rows: int, wp: int):
+                 bh: int, slab_rows: int, wp: int, batched: bool):
     nl = cfg.n_octave_layers
     b = cfg.img_border
     thr = float(cfg.nms_threshold)
 
     def kernel(dog_hbm, out_ref, slab_ref, sem):
-        rb = pl.program_id(0)
+        # batched input is (B*D, Hp, Wp) with grid (B, nrb); the body
+        # is identical per frame, so compile time is invariant in B
+        bi = pl.program_id(0) if batched else 0
+        rb = pl.program_id(1) if batched else pl.program_id(0)
         dma = pltpu.make_async_copy(
-            dog_hbm.at[:, pl.ds(rb * bh, slab_rows), :], slab_ref, sem)
+            dog_hbm.at[pl.ds(bi * d, d), pl.ds(rb * bh, slab_rows), :],
+            slab_ref, sem)
         dma.start()
         dma.wait()
 
@@ -95,7 +99,7 @@ def _scores(dog: jnp.ndarray, cfg: SIFTConfig = DEFAULT_CONFIG,
     # pad: 1 halo row above, halo + block + alignment below, lanes
     pin = jnp.pad(dog, ((0, 0), (1, (hp - h) + (slab_rows - bh - 1)),
                         (0, wp - w)))
-    kernel = _make_kernel(cfg, d, h, w, bh, slab_rows, wp)
+    kernel = _make_kernel(cfg, d, h, w, bh, slab_rows, wp, False)
     out = pl.pallas_call(
         kernel,
         grid=(nrb,),
@@ -117,8 +121,51 @@ def _scores(dog: jnp.ndarray, cfg: SIFTConfig = DEFAULT_CONFIG,
     return out[:, :h, :w]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def _scores_batch(dog: jnp.ndarray, cfg: SIFTConfig = DEFAULT_CONFIG,
+                  interpret: bool = False) -> jnp.ndarray:
+    nb, d, h, w = dog.shape
+    nl = cfg.n_octave_layers
+    bh = min(_BH, max(8, -(-h // 8) * 8))
+    nrb = pl.cdiv(h, bh)
+    hp = nrb * bh
+    slab_rows = -(-(bh + 2) // 8) * 8
+    wp = -(-w // 128) * 128
+    pin = jnp.pad(dog, ((0, 0), (0, 0),
+                        (1, (hp - h) + (slab_rows - bh - 1)),
+                        (0, wp - w))).reshape(nb * d, -1, wp)
+    kernel = _make_kernel(cfg, d, h, w, bh, slab_rows, wp, True)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb, nrb),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((nl, bh, wp), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * nl, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((d, slab_rows, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 26 * nb * nl * hp * wp,
+            bytes_accessed=nb * (d + nl) * hp * wp * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(pin)
+    return out.reshape(nb, nl, hp, wp)[:, :, :h, :w]
+
+
 def extrema_scores_pallas(dog: jnp.ndarray,
                           cfg: SIFTConfig = DEFAULT_CONFIG) -> jnp.ndarray:
     """(D, H, W) DoG stack -> (nL, H, W) masked |response| scores
     (-1 where not a candidate)."""
     return _scores(dog, cfg, _interpret())
+
+
+def extrema_scores_batch_pallas(dog: jnp.ndarray,
+                                cfg: SIFTConfig = DEFAULT_CONFIG
+                                ) -> jnp.ndarray:
+    """Batched frames: (B, D, H, W) -> (B, nL, H, W) scores."""
+    return _scores_batch(dog, cfg, _interpret())

@@ -42,7 +42,22 @@ def detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
     """
     out_cap = out_cap or cap
     layer0, r0, c0, valid0 = ext.top_candidates(dog, cap, cfg)
-    rf = ref.refine_candidates(dog, layer0, r0, c0, valid0, cfg)
+    return _octave_tail(gauss, dog, layer0, r0, c0, valid0,
+                        octave, cfg, out_cap)
+
+
+def _octave_tail(gauss, dog, layer0, r0, c0, valid0, octave: int,
+                 cfg: SIFTConfig, out_cap: int,
+                 row_bounds=None) -> Keypoints:
+    """Refine + orient + compact, given the candidate scan's output.
+
+    Split out of detect_octave so the batched path can run the
+    candidate top-k batched (its saturation lax.cond must stay out of
+    vmap) and vmap only this gather-heavy tail. row_bounds: local rows
+    of the TRUE image for spatially-tiled execution (parallel/spatial)."""
+    rf = ref.refine_candidates(dog, layer0, r0, c0, valid0, cfg,
+                               row_bounds=row_bounds)
+    cap = layer0.shape[0]
 
     # mid-compaction: refinement rejects ~70% of candidates (contrast/
     # edge tests), so orientation+descriptor work shrinks to out_cap
@@ -57,7 +72,8 @@ def detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
     scl_octv = cfg.sigma * jnp.exp2((lay_f + rf.xi) / nl)
     size = scl_octv * (1 << octave) * 2.0           # src/sift.cpp:384
     angles, ok = ori.orientation_peaks(
-        gauss, rf.layer, rf.r, rf.c, scl_octv, rf.valid, cfg)
+        gauss, rf.layer, rf.r, rf.c, scl_octv, rf.valid, cfg,
+        row_bounds=row_bounds)
 
     k = cfg.max_ori_peaks
     scale = float(1 << octave)
@@ -161,3 +177,47 @@ def detect_and_compute(img: jnp.ndarray, cfg: SIFTConfig = DEFAULT_CONFIG
         d_parts.append(d)
     return (Keypoints.concatenate(tuple(kp_parts)),
             jnp.concatenate(d_parts, axis=0))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect_and_compute_batch(imgs: jnp.ndarray,
+                             cfg: SIFTConfig = DEFAULT_CONFIG
+                             ) -> Tuple[Keypoints, jnp.ndarray]:
+    """Single-chip throughput mode: B frames in one program.
+
+    (B, H, W) -> (Keypoints with (B, N) fields, (B, N, 128)
+    descriptors); row b equals detect_and_compute(imgs[b]) exactly
+    (parity-tested). Latency-mode dispatch runs the 25 per-octave
+    kernels one frame at a time and underfills the chip on small
+    octaves; here the batch rides one grid/conv axis through pyramid
+    and extrema scan, and the gather-heavy tail is vmapped. Use
+    jax.tree.map(lambda a: a[b], kp) for a per-frame view.
+    """
+    octs = pyr.build_gaussian_pyramid_batch(imgs, cfg)
+    dogs = pyr.build_dog_pyramid_batch(octs)
+    kp_parts = []
+    d_parts = []
+    for o in range(cfg.n_octaves):
+        out_cap = cfg.out_caps[o]
+        if _octave_usable(octs[o].shape[2:], cfg):
+            cands = ext.top_candidates_batch(dogs[o],
+                                             cfg.detect_caps[o], cfg)
+
+            def tail(gauss, dog, layer0, r0, c0, valid0,
+                     _o=o, _cap=out_cap):
+                kp = _octave_tail(gauss, dog, layer0, r0, c0, valid0,
+                                  _o, cfg, _cap)
+                return kp, desc_mod.descriptors_octave(gauss, kp, cfg)
+
+            kp, d = jax.vmap(tail)(octs[o], dogs[o], *cands)
+        else:
+            nb = imgs.shape[0]
+            kp = jax.tree.map(
+                lambda a: jnp.broadcast_to(a[None], (nb,) + a.shape),
+                Keypoints.zeros(out_cap))
+            d = jnp.zeros((nb, out_cap, cfg.descr_size), jnp.float32)
+        kp_parts.append(kp)
+        d_parts.append(d)
+    kp_all = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1),
+                          *kp_parts)
+    return kp_all, jnp.concatenate(d_parts, axis=1)

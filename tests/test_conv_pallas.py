@@ -35,3 +35,14 @@ def rng():
     """Module-local deterministic rng: the session-wide rng made test
     outcomes depend on which other modules ran first."""
     return _np_rng_mod.default_rng(0)
+
+
+def test_pallas_blur_batch_matches_conv(rng):
+    from sift_tpu.ops.conv_pallas import gaussian_blur_multi_batch_pallas
+    imgs = (rng.random((3, 72, 104)) * 255).astype(np.float32)
+    sig = CFG.scale_sigmas()[1:]
+    got = np.asarray(gaussian_blur_multi_batch_pallas(jnp.asarray(imgs),
+                                                      sig))
+    for b in range(3):
+        want = np.asarray(gaussian_blur_multi(jnp.asarray(imgs[b]), sig))
+        np.testing.assert_allclose(got[b], want, rtol=1e-5, atol=1e-3)
