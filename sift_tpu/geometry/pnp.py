@@ -75,6 +75,62 @@ def _dlt_pnp(x: jnp.ndarray, p: jnp.ndarray, w: jnp.ndarray):
     return r, t
 
 
+def _planar_pnp(x: jnp.ndarray, p: jnp.ndarray, w: jnp.ndarray):
+    """Weighted pose for (near-)coplanar points: the 6-point DLT's
+    12x12 system drops rank when the sample lies on one plane (walls,
+    floors, facades — ubiquitous in real maps), so RANSAC scores this
+    homography-decomposition pose (IPPE-style) alongside it.
+
+    Fit the best plane (weighted covariance eigenbasis), DLT the
+    plane->image homography, factor H = [h1 h2 h3] into
+    [r1 r2 t] / lambda with lambda = 2 / (|h1| + |h2|), orthonormalize
+    [r1 r2 r1xr2] by SVD projection, then map back from plane
+    coordinates to world: R = R_plane @ [b1 b2 n]^T, t = t_p - R cen.
+    """
+    cw = jnp.maximum(jnp.sum(w), 1e-9)
+    cen = jnp.sum(x * w[:, None], axis=0) / cw
+    xc = x - cen
+    cov = (xc * w[:, None]).T @ xc / cw
+    _, evecs = jnp.linalg.eigh(cov)            # ascending eigenvalues
+    normal = evecs[:, 0]
+    b = evecs[:, 1:]                           # (3, 2) plane basis
+    # right-handed plane frame [b1 b2 n]
+    normal = normal * jnp.sign(jnp.linalg.det(
+        jnp.concatenate([b, normal[:, None]], axis=1)))
+    m_w2p = jnp.concatenate([b, normal[:, None]], axis=1).T   # (3, 3)
+    q = xc @ b                                  # (N, 2) plane coords
+    scale = jnp.maximum(jnp.sum(jnp.linalg.norm(q, axis=1) * w) / cw,
+                        1e-9)
+    q = q / scale
+    u, v = p[:, 0], p[:, 1]
+    ones = jnp.ones_like(u)
+    zeros = jnp.zeros_like(u)
+    rows_u = jnp.stack([q[:, 0], q[:, 1], ones,
+                        zeros, zeros, zeros,
+                        -u * q[:, 0], -u * q[:, 1], -u], axis=1)
+    rows_v = jnp.stack([zeros, zeros, zeros,
+                        q[:, 0], q[:, 1], ones,
+                        -v * q[:, 0], -v * q[:, 1], -v], axis=1)
+    a = jnp.concatenate([rows_u * w[:, None], rows_v * w[:, None]],
+                        axis=0)                 # (2N, 9)
+    h = smallest_eigvec(a.T @ a).reshape(3, 3)
+    h = jnp.concatenate([h[:, :2] / scale, h[:, 2:]], axis=1)
+    # cheirality: the plane centroid projects to h3 — positive depth
+    h = h * jnp.where(h[2, 2] < 0, -1.0, 1.0)
+    n1 = jnp.linalg.norm(h[:, 0])
+    n2 = jnp.linalg.norm(h[:, 1])
+    lam = 2.0 / jnp.maximum(n1 + n2, 1e-12)
+    r12 = h[:, :2] * lam
+    r3 = jnp.cross(r12[:, 0], r12[:, 1])
+    mr = jnp.concatenate([r12, r3[:, None]], axis=1)
+    uu, _, vt = jnp.linalg.svd(mr)
+    d = jnp.sign(jnp.linalg.det(uu @ vt))
+    r_plane = (uu * jnp.array([1.0, 1.0, d])) @ vt
+    t_p = h[:, 2] * lam
+    r = r_plane @ m_w2p
+    return r, t_p - r @ cen
+
+
 def _reproj_sq(r, t, x, p):
     xc = x @ r.T + t
     z = xc[:, 2]
@@ -105,10 +161,18 @@ def pnp_ransac(x: jnp.ndarray, p: jnp.ndarray,
     _, samples = jax.lax.top_k(g, 6)
 
     def hypothesis(idx):
-        r, t = _dlt_pnp(x[idx], p[idx], jnp.ones((6,)))
-        err = _reproj_sq(r, t, x, p)
-        inl = (err < threshold * threshold) & valid
-        return jnp.sum(inl.astype(jnp.int32)), r, t
+        # score both the general DLT pose and the planar-decomposition
+        # pose: whichever explains more points wins — mixed scenes use
+        # DLT, single-plane samples (where DLT drops rank) use planar
+        rd, td = _dlt_pnp(x[idx], p[idx], jnp.ones((6,)))
+        rp, tp = _planar_pnp(x[idx], p[idx], jnp.ones((6,)))
+        nd = jnp.sum(((_reproj_sq(rd, td, x, p) < threshold * threshold)
+                      & valid).astype(jnp.int32))
+        np_ = jnp.sum(((_reproj_sq(rp, tp, x, p) < threshold * threshold)
+                       & valid).astype(jnp.int32))
+        use_p = np_ > nd
+        return (jnp.maximum(nd, np_), jnp.where(use_p, rp, rd),
+                jnp.where(use_p, tp, td))
 
     counts, rs, ts = jax.lax.map(hypothesis, samples,
                                  batch_size=min(256, n_hypotheses))
@@ -118,15 +182,18 @@ def pnp_ransac(x: jnp.ndarray, p: jnp.ndarray,
                < threshold * threshold) & valid
     ok = counts[best] >= 6
 
-    # locally-optimized refit + GN polish
+    # locally-optimized refit + GN polish (both solvers — an all-inlier
+    # refit on a planar map degenerates the DLT exactly like a minimal
+    # sample does)
     for _ in range(2):
-        r_ref, t_ref = _dlt_pnp(x, p, inliers.astype(jnp.float32))
-        inl_ref = (_reproj_sq(r_ref, t_ref, x, p)
-                   < threshold * threshold) & valid
-        better = jnp.sum(inl_ref) >= jnp.sum(inliers)
-        r_best = jnp.where(better, r_ref, r_best)
-        t_best = jnp.where(better, t_ref, t_best)
-        inliers = jnp.where(better, inl_ref, inliers)
+        for solver in (_dlt_pnp, _planar_pnp):
+            r_ref, t_ref = solver(x, p, inliers.astype(jnp.float32))
+            inl_ref = (_reproj_sq(r_ref, t_ref, x, p)
+                       < threshold * threshold) & valid
+            better = jnp.sum(inl_ref) >= jnp.sum(inliers)
+            r_best = jnp.where(better, r_ref, r_best)
+            t_best = jnp.where(better, t_ref, t_best)
+            inliers = jnp.where(better, inl_ref, inliers)
 
     wmask = inliers.astype(jnp.float32)
 

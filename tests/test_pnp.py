@@ -50,6 +50,52 @@ def test_pnp_respects_validity(rng):
     assert np.linalg.norm(np.asarray(res.t) - t_true) < 5e-3
 
 
+def test_pnp_planar_scene(rng):
+    """Coplanar maps (walls, floors) break the 6-point DLT's 12x12
+    system; the planar homography-decomposition hypothesis must carry
+    the solve (round-3 regression: all-planar PnP returned 0 inliers,
+    stalling incremental registration in the corner-scene pipeline)."""
+    w = np.array([0.1, -0.2, 0.15])
+    r = np.asarray(lie.so3_exp(w))
+    t = np.array([0.3, -0.1, 0.4])
+    n = 60
+    # points exactly on the z=6 world plane
+    x = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                  np.full(n, 6.0)], 1)
+    xc = x @ r.T + t
+    p = (xc[:, :2] / xc[:, 2:3]
+         + rng.normal(0, 3e-4, (n, 2))).astype(np.float32)
+    # 20% outliers
+    idx = rng.choice(n, n // 5, replace=False)
+    p[idx] += rng.uniform(0.05, 0.2, (len(idx), 2))
+    res = pnp_ransac(x.astype(np.float32), p, threshold=2e-3)
+    assert bool(res.ok)
+    assert int(res.n_inliers) >= n - len(idx) - 3
+    assert np.linalg.norm(np.asarray(res.t) - t) < 2e-2
+    assert np.degrees(np.linalg.norm(
+        np.asarray(lie.so3_log(res.R)) - w)) < 1.5
+
+
+def test_pnp_tilted_planar_scene(rng):
+    """Planar fallback must handle an arbitrary (non-axis-aligned)
+    plane: the basis comes from the sample covariance, not from any
+    world-axis assumption."""
+    w = np.array([-0.05, 0.1, 0.2])
+    r = np.asarray(lie.so3_exp(w))
+    t = np.array([-0.2, 0.3, 0.2])
+    n = 50
+    x = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                  np.zeros(n)], 1)
+    x[:, 2] = 6.0 + 0.7 * x[:, 0] - 0.4 * x[:, 1]
+    xc = x @ r.T + t
+    p = (xc[:, :2] / xc[:, 2:3]
+         + rng.normal(0, 3e-4, (n, 2))).astype(np.float32)
+    res = pnp_ransac(x.astype(np.float32), p, threshold=2e-3)
+    assert bool(res.ok)
+    assert int(res.n_inliers) >= n - 3
+    assert np.linalg.norm(np.asarray(res.t) - t) < 2e-2
+
+
 import pytest as _pytest
 
 
