@@ -57,6 +57,13 @@ GATES = {
     # itself (golden dump) — a homography (4 pts) is unfindable there
     # for any faithful implementation, so the gate is 2 of 3 pairs
     "min_pairs_found": 2,
+    # config-5 end-to-end mapping (rendered corpus-derived loop,
+    # ground-truth poses; sfm/mapping.py): trajectory radius is 0.9
+    # world units, so 0.07 ATE is < 8% of it
+    "mapping_min_registered_frac": 0.9,
+    "mapping_min_closures": 1,
+    "mapping_max_ate": 0.07,
+    "mapping_max_reproj": 4e-3,
 }
 
 # images probed with synthetic warps (rotation/scale/perspective)
@@ -238,6 +245,35 @@ def eval_reference_recall(data_dir: str, golden_path: str = GOLDEN,
     return out
 
 
+def eval_mapping(data_dir: str, n_frames: int = 16,
+                 size=(240, 320)) -> Dict:
+    """Config-5 end-to-end: rendered corpus-derived loop sequence ->
+    full pipeline (sequential SfM, loop closures, pose graph,
+    closure-aware global BA, export) -> ATE vs the renderer's exact
+    ground-truth poses. See sfm/mapping.py."""
+    import tempfile
+    from sift_tpu.sfm.mapping import (mapping_ate,
+                                      render_corner_sequence,
+                                      run_mapping)
+    frames, k, gt = render_corner_sequence(data_dir=data_dir,
+                                           n_frames=n_frames, size=size)
+    t0 = time.perf_counter()
+    with tempfile.TemporaryDirectory() as td:
+        res = run_mapping(frames, k,
+                          export_prefix=os.path.join(td, "map"))
+        exported = all(os.path.exists(p)
+                       for p in res.stats.get("export", {}).values())
+    dt = time.perf_counter() - t0
+    out = dict(res.stats)
+    out.pop("export", None)
+    out.update({kk: round(v, 5) for kk, v in
+                mapping_ate(res, gt).items()})
+    out["reproj_rmse"] = round(out["reproj_rmse"], 6)
+    out["exported"] = exported
+    out["wall_s"] = round(dt, 1)
+    return out
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="sift_tpu.eval")
     ap.add_argument("--data", default="/root/reference/data")
@@ -247,6 +283,8 @@ def main(argv=None) -> int:
     ap.add_argument("--gate", action="store_true",
                     help="exit nonzero if any GATES threshold fails")
     ap.add_argument("--skip-recall", action="store_true")
+    ap.add_argument("--skip-mapping", action="store_true",
+                    help="skip the config-5 end-to-end mapping eval")
     args = ap.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
@@ -256,6 +294,8 @@ def main(argv=None) -> int:
     }
     if not args.skip_recall and os.path.exists(GOLDEN):
         report["reference_recall"] = eval_reference_recall(args.data)
+    if not args.skip_mapping:
+        report["mapping"] = eval_mapping(args.data)
     reps = [r["repeatability"] for r in report["repeatability"]]
     precs = [r["match_precision"] for r in report["repeatability"]]
     report["summary"] = {
@@ -313,6 +353,15 @@ def main(argv=None) -> int:
             failures.append("match_precision")
     if s["pairs_found"] < min(GATES["min_pairs_found"], s["pairs_total"]):
         failures.append("pairs_found")
+    if "mapping" in report:
+        mp = report["mapping"]
+        if (mp["n_registered"] < GATES["mapping_min_registered_frac"]
+                * mp["n_frames"]
+                or mp["n_closures"] < GATES["mapping_min_closures"]
+                or mp["ate_final"] > GATES["mapping_max_ate"]
+                or mp["reproj_rmse"] > GATES["mapping_max_reproj"]
+                or not mp["exported"]):
+            failures.append("mapping")
     report["summary"]["gates_failed"] = failures
 
     text = json.dumps(report, indent=2)

@@ -15,10 +15,14 @@ from sift_tpu.sfm.posegraph_dist import optimize_pose_graph_partitioned
 from sift_tpu.sfm.loopclosure import LoopClosure, find_loop_closures
 from sift_tpu.sfm.rotation_avg import average_rotations
 from sift_tpu.sfm.export import save_ply, save_reconstruction
+from sift_tpu.sfm.mapping import (MappingResult, mapping_ate,
+                                  render_corner_sequence, run_mapping)
 
 __all__ = ["BAProblem", "bundle_adjust", "reproj_rmse",
            "Reconstruction", "reconstruct",
            "PoseGraph", "optimize_pose_graph",
            "optimize_pose_graph_partitioned",
            "LoopClosure", "find_loop_closures",
-           "average_rotations", "save_ply", "save_reconstruction"]
+           "average_rotations", "save_ply", "save_reconstruction",
+           "MappingResult", "mapping_ate", "render_corner_sequence",
+           "run_mapping"]
