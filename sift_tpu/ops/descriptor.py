@@ -39,16 +39,20 @@ _FLT_EPS = float(np.float32(1.1920929e-07))
 
 def descriptors_octave(gauss: jnp.ndarray, kp: Keypoints,
                        cfg: SIFTConfig = DEFAULT_CONFIG,
-                       chunk: int = 64) -> jnp.ndarray:
+                       chunk: int = 64, row_bounds=None) -> jnp.ndarray:
     """Descriptors for one octave's keypoint batch: (N,) -> (N, 128).
 
     kp fields are octave-space (r, c integer center; layer; size);
-    invalid slots yield zero rows.
+    invalid slots yield zero rows. row_bounds: optional (lo, hi) local
+    rows of the TRUE image for spatially-tiled execution (samples
+    outside behave like out-of-image, src/sift.cpp:616); default the
+    whole array.
     """
     d = cfg.descr_width
     n = cfg.descr_hist_bins
     rd = cfg.descr_patch_radius
     s_img, h, w = gauss.shape
+    row_lo, row_hi = (0, h) if row_bounds is None else row_bounds
     pad = rd + 1
     padded = jnp.pad(gauss, ((0, 0), (pad, pad), (pad, pad)))
     diag = int(math.sqrt(float(w) * w + float(h) * h))  # src/sift.cpp:590
@@ -84,7 +88,8 @@ def descriptors_octave(gauss: jnp.ndarray, kp: Keypoints,
         rr = r0 + ii_i
         cc = c0 + jj_i
         m = ((rbin > -1) & (rbin < d) & (cbin > -1) & (cbin < d)
-             & (rr > 0) & (rr < h - 1) & (cc > 0) & (cc < w - 1)
+             & (rr > row_lo) & (rr < row_hi - 1)
+             & (cc > 0) & (cc < w - 1)
              & (jnp.abs(ii_i) <= radius) & (jnp.abs(jj_i) <= radius))
 
         wgt = jnp.exp((c_rot * c_rot + r_rot * r_rot)

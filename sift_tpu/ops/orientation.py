@@ -34,18 +34,25 @@ _FLT_EPS = float(np.float32(1.1920929e-07))
 def orientation_peaks(gauss: jnp.ndarray,
                       layer: jnp.ndarray, r: jnp.ndarray, c: jnp.ndarray,
                       scl_octv: jnp.ndarray, valid: jnp.ndarray,
-                      cfg: SIFTConfig = DEFAULT_CONFIG
+                      cfg: SIFTConfig = DEFAULT_CONFIG,
+                      row_bounds=None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Compute up to max_ori_peaks orientations per refined keypoint.
 
     gauss: (S, H, W) Gaussian stack of one octave.
     layer/r/c/scl_octv/valid: (N,) refined keypoints (octave space).
+    row_bounds: optional (lo, hi) — the array rows that correspond to
+        the TRUE image (spatially-tiled execution passes the local
+        offsets of the global image edges; rows outside behave like
+        the reference's out-of-image samples, src/sift.cpp:411).
+        Default (0, H): the array is the whole image.
     Returns (angles (N, K) degrees, peak_valid (N, K)).
     """
     n = cfg.ori_hist_bins
     k_peaks = cfg.max_ori_peaks
     rp = cfg.ori_patch_radius
     h, w = gauss.shape[1], gauss.shape[2]
+    row_lo, row_hi = (0, h) if row_bounds is None else row_bounds
     pad = rp + 1
     padded = jnp.pad(gauss, ((0, 0), (pad, pad), (pad, pad)))
 
@@ -69,7 +76,8 @@ def orientation_peaks(gauss: jnp.ndarray,
         yy = r0 + ii
         xx = c0 + jj
         m = ((jnp.abs(ii) <= radius) & (jnp.abs(jj) <= radius)
-             & (yy > 0) & (yy < h - 1) & (xx > 0) & (xx < w - 1))
+             & (yy > row_lo) & (yy < row_hi - 1)
+             & (xx > 0) & (xx < w - 1))
         wgt = jnp.exp(r2_grid * expf_scale)
         mag = jnp.sqrt(dx * dx + dy * dy)
         ori = fast_atan2_deg(dy, dx)

@@ -108,9 +108,16 @@ def derivative_fields(dog: jnp.ndarray):
 def refine_candidates(dog: jnp.ndarray,
                       layer: jnp.ndarray, r: jnp.ndarray, c: jnp.ndarray,
                       valid: jnp.ndarray,
-                      cfg: SIFTConfig = DEFAULT_CONFIG) -> Refined:
-    """Refine a batch of candidates on one octave's (D, H, W) DoG stack."""
+                      cfg: SIFTConfig = DEFAULT_CONFIG,
+                      row_bounds=None) -> Refined:
+    """Refine a batch of candidates on one octave's (D, H, W) DoG stack.
+
+    row_bounds: optional (lo, hi) local rows of the TRUE image —
+    spatially-tiled execution bounds Newton moves against the global
+    border (src/sift.cpp:341-346 semantics), not the tile edge.
+    """
     h, w = dog.shape[1], dog.shape[2]
+    row_lo, row_hi = (0, h) if row_bounds is None else row_bounds
     nl = cfg.n_octave_layers
     border = cfg.img_border
     fields = derivative_fields(dog)
@@ -151,7 +158,7 @@ def refine_candidates(dog: jnp.ndarray,
         nc = cc + jnp.where(move, cv_round(nxc), 0)
         oob = ((nlay < 1) | (nlay > nl)
                | (nc < border) | (nc >= w - border)
-               | (nr < border) | (nr >= h - border))
+               | (nr < row_lo + border) | (nr >= row_hi - border))
         alive = alive & ~(active & (diverged | (move & oob)))
         converged = converged | (active & conv_now)
         safe = ~oob
