@@ -34,6 +34,8 @@ def _parse():
     ap.add_argument("--obs", type=int, default=65536)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cg-iters", type=int, default=20)
+    ap.add_argument("--json-out", default=None,
+                    help="also write all per-width records to this file")
     return ap.parse_args()
 
 
@@ -95,12 +97,13 @@ def main() -> int:
         return best
 
     t1 = None
+    records = []
     for w in widths:
         t = run_width(w)
         if t1 is None:
             t1 = t
         eff = t1 / (w * t)
-        print(json.dumps({
+        rec = {
             "metric": "ba_scaling", "devices": w,
             "wall_s": round(t, 4),
             "efficiency": round(eff, 3),
@@ -108,7 +111,15 @@ def main() -> int:
             "note": ("virtual CPU mesh — validates collectives, not "
                      "ICI bandwidth" if args.platform == "cpu" else
                      "real devices"),
-        }))
+        }
+        records.append(rec)
+        print(json.dumps(rec))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({"cams": args.cams, "pts": args.pts,
+                       "obs": args.obs, "iters": args.iters,
+                       "cg_iters": args.cg_iters,
+                       "records": records}, f, indent=2)
     return 0
 
 

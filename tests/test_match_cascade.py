@@ -87,3 +87,24 @@ def test_cascade_scales_to_map_sized_train():
     # each query's true nearest neighbor is its perturbed twin at the
     # same index; the cascade must find essentially all of them
     assert (ti == np.arange(1024)).mean() > 0.99
+
+
+@pytest.mark.slow
+def test_cascade_at_advertised_100k_scale():
+    """The module advertises 100k+ point maps: at 131072 train rows
+    with the default n_candidates the cascade must still route every
+    query to its true twin (bench_cascade.py / CASCADE.json carries
+    the full agreement sweep vs the exact matcher)."""
+    rng = np.random.default_rng(5)
+
+    def mk(n):
+        d = rng.random((n, 128)).astype(np.float32) ** 2
+        d /= d.sum(axis=1, keepdims=True)
+        return np.sqrt(d)
+
+    q = mk(1024)
+    t = np.concatenate([q + rng.normal(0, 1e-3, q.shape)
+                        .astype(np.float32), mk(127 * 1024)])
+    out = match_ratio_cascade(jnp.asarray(q), jnp.asarray(np.abs(t)))
+    ti = np.asarray(out.train_idx)
+    assert (ti == np.arange(1024)).mean() > 0.99
