@@ -396,6 +396,65 @@ def run_mapping(frames: np.ndarray, k: np.ndarray,
     return result
 
 
+def main(argv=None) -> int:
+    """CLI: map an image sequence (a directory of frames, sorted by
+    name) and export the reconstruction.
+
+    python -m sift_tpu.sfm.mapping <frames_dir> --out map \
+        [--fov-deg 58] [--fx F --fy F --cx C --cy C]
+
+    Without explicit intrinsics, fx=fy is derived from --fov-deg and
+    the principal point sits at the image center (the reference demo
+    never calibrates at all — src/main.cpp:79-87 just resizes).
+    """
+    import argparse
+    import glob
+    import json
+    import math
+
+    ap = argparse.ArgumentParser(prog="sift_tpu.sfm.mapping")
+    ap.add_argument("frames_dir")
+    ap.add_argument("--out", default="map",
+                    help="export prefix (-> .ply / .json)")
+    ap.add_argument("--fov-deg", type=float, default=58.0)
+    ap.add_argument("--fx", type=float)
+    ap.add_argument("--fy", type=float)
+    ap.add_argument("--cx", type=float)
+    ap.add_argument("--cy", type=float)
+    ap.add_argument("--max-side", type=int, default=640)
+    ap.add_argument("--pair-window", type=int, default=3)
+    args = ap.parse_args(argv)
+
+    import cv2
+    paths = sorted(p for p in glob.glob(f"{args.frames_dir}/*")
+                   if p.lower().endswith((".jpg", ".jpeg", ".png",
+                                          ".bmp")))
+    if len(paths) < 3:
+        print(f"need >= 3 frames, found {len(paths)}", flush=True)
+        return 2
+    frames = []
+    for p in paths:
+        g = cv2.imread(p, cv2.IMREAD_GRAYSCALE).astype(np.float32)
+        s = max(g.shape) / args.max_side
+        if s > 1.0:
+            g = cv2.resize(g, (int(g.shape[1] / s), int(g.shape[0] / s)))
+        frames.append(g)
+    hw = frames[0].shape
+    if any(f.shape != hw for f in frames):
+        print("all frames must share one resolution", flush=True)
+        return 2
+    h, w = hw
+    fx = args.fx or w / (2.0 * math.tan(math.radians(args.fov_deg) / 2))
+    k = np.array([[fx, 0.0, args.cx if args.cx else w / 2.0],
+                  [0.0, args.fy or fx, args.cy if args.cy else h / 2.0],
+                  [0.0, 0.0, 1.0]])
+    res = run_mapping(np.stack(frames), k,
+                      pair_window=args.pair_window,
+                      export_prefix=args.out)
+    print(json.dumps(res.stats))
+    return 0
+
+
 def mapping_ate(result: MappingResult, gt_cams: np.ndarray
                 ) -> Dict[str, float]:
     """ATE (sim3-aligned RMSE of camera centers) of each pipeline
@@ -410,3 +469,8 @@ def mapping_ate(result: MappingResult, gt_cams: np.ndarray
         "ate_final": ate_rmse(
             camera_centers(result.cameras_final[reg]), gt),
     }
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())
