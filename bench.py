@@ -115,6 +115,113 @@ def bench_stages() -> None:
     print(json.dumps(out))
 
 
+def bench_internals() -> None:
+    """Sub-stage breakdown of detect at 1080p -> BENCH_INTERNALS.json.
+
+    Successive chained timings with one more pipeline piece each; the
+    differences attribute cost to refine's dense derivative fields vs
+    its gathers/Newton, and orientation's patch gather vs histogram —
+    the data the <=10 ms detect roadmap needs.
+    """
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    from sift_tpu import sift
+    from sift_tpu.config import DEFAULT_CONFIG as CFG
+    from sift_tpu.ops import pyramid as pyr
+    from sift_tpu.ops import extrema as ext
+    from sift_tpu.ops import refine as ref
+    from sift_tpu.ops import orientation as ori
+
+    import cv2
+    big = cv2.imread("/root/reference/data/scene.jpg")
+    f0 = jnp.asarray(cv2.cvtColor(cv2.resize(big, (1920, 1080)),
+                                  cv2.COLOR_RGB2GRAY).astype(np.float32))
+
+    def chain(fn, k=8):
+        def run(kk):
+            t0 = time.perf_counter()
+            acc = jnp.float32(0.1)
+            for _ in range(kk):
+                acc = fn(acc)
+            float(np.asarray(acc))
+            return time.perf_counter() - t0
+        run(1)
+        r1 = min(run(1) for _ in range(3))
+        rk = min(run(k) for _ in range(2))
+        return 1000.0 * (rk - r1) / (k - 1)
+
+    def upto(stage):
+        """One jitted fn running the pipeline up to `stage`."""
+        @jax.jit
+        def fn(acc):
+            octs = pyr.build_gaussian_pyramid(f0 + acc * 1e-9, CFG)
+            dogs = pyr.build_dog_pyramid(octs)
+            s = acc + dogs[4][0, 0, 0] * 1e-9
+            if stage == "pyramid":
+                return s
+            for o in range(CFG.n_octaves):
+                lay, r, c, v = ext.top_candidates(
+                    dogs[o], CFG.detect_caps[o], CFG)
+                s = s + jnp.sum(r[:2]).astype(jnp.float32) * 1e-9
+                if stage == "cand":
+                    continue
+                if stage == "fields":
+                    flds = ref.derivative_fields(dogs[o])
+                    s = s + flds[0][0] * 1e-9
+                    continue
+                rf = ref.refine_candidates(dogs[o], lay, r, c, v, CFG)
+                s = s + jnp.sum(rf.xr[:2]) * 1e-9
+                if stage == "refine":
+                    continue
+                nl = CFG.n_octave_layers
+                scl = CFG.sigma * jnp.exp2(
+                    (rf.layer.astype(jnp.float32) + rf.xi) / nl)
+                if stage == "ori_gather":
+                    # the patch gather alone: vmapped dynamic_slice
+                    rp = CFG.ori_patch_radius
+                    padded = jnp.pad(octs[o],
+                                     ((0, 0), (rp + 1, rp + 1),
+                                      (rp + 1, rp + 1)))
+
+                    def g(l0, r0, c0):
+                        p = jax.lax.dynamic_slice(
+                            padded, (l0, r0, c0),
+                            (1, 2 * rp + 3, 2 * rp + 3))
+                        return jnp.sum(p) * 1e-9
+                    s = s + jnp.sum(jax.vmap(g)(rf.layer, rf.r, rf.c))
+                    continue
+                ang, ok = ori.orientation_peaks(
+                    octs[o], rf.layer, rf.r, rf.c, scl, rf.valid, CFG)
+                s = s + jnp.sum(ang[:2, 0]) * 1e-9
+            return s
+        return fn
+
+    stages = ["pyramid", "cand", "fields", "refine", "ori_gather",
+              "ori"]
+    t = {st: chain(upto(st)) for st in stages}
+
+    def det(acc):
+        kp, octs = sift.detect(f0 + acc * 1e-9, CFG)
+        return kp.x[0] * 1e-9 + acc
+
+    t["detect_full"] = chain(det)
+    out = {"backend": jax.default_backend(),
+           "cumulative_ms": {k: round(v, 2) for k, v in t.items()},
+           "deltas_ms": {
+               "candidates": round(t["cand"] - t["pyramid"], 2),
+               "refine_fields_only": round(t["fields"] - t["cand"], 2),
+               "refine_total": round(t["refine"] - t["cand"], 2),
+               "ori_patch_gather": round(
+                   t["ori_gather"] - t["refine"], 2),
+               "orientation_total": round(t["ori"] - t["refine"], 2),
+               "tail_glue": round(t["detect_full"] - t["ori"], 2),
+           }}
+    with open("BENCH_INTERNALS.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
 def bench_batch(batch: int) -> None:
     """Throughput operating point: B frames per dispatch on ONE chip
     (detect_and_compute_batch + batched matcher), frames/s/chip.
@@ -189,6 +296,9 @@ def main() -> None:
         return
     if "--batch" in sys.argv:
         bench_batch(int(sys.argv[sys.argv.index("--batch") + 1]))
+        return
+    if "--internals" in sys.argv:
+        bench_internals()
         return
     _enable_compile_cache()
     import jax

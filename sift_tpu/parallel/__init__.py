@@ -14,8 +14,9 @@ from sift_tpu.parallel.match import (sharded_match_ratio,
 from sift_tpu.parallel.ba import (bundle_adjust_sharded,
                                   bundle_adjust_point_sharded)
 from sift_tpu.parallel.spatial import detect_and_compute_tiled
+from sift_tpu.parallel.elastic import supervise_ba
 
 __all__ = ["make_mesh", "default_mesh", "batched_detect_and_compute",
            "sharded_match_ratio", "sharded_match_ratio_train_sharded",
            "bundle_adjust_sharded", "bundle_adjust_point_sharded",
-           "detect_and_compute_tiled"]
+           "detect_and_compute_tiled", "supervise_ba"]
