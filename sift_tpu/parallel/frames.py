@@ -30,8 +30,12 @@ def batched_detect_and_compute(imgs: jnp.ndarray, mesh: Mesh,
 
     B must be divisible by the mesh "data" axis size. Each leaf of the
     returned Keypoints pytree is (B, N)-shaped and sharded over "data".
+    Each chip runs the grid-batched throughput path over its local
+    frames (detect_and_compute_batch: the batch rides the Pallas grid
+    / conv batch axis instead of vmapping whole-image kernels, filling
+    the chip on small octaves).
     """
-    local = jax.vmap(functools.partial(sift.detect_and_compute, cfg=cfg))
+    local = functools.partial(sift.detect_and_compute_batch, cfg=cfg)
     fn = shard_map(local, mesh=mesh,
                    in_specs=P("data"),
                    out_specs=(jax.tree_util.tree_map(
