@@ -31,11 +31,40 @@ from sift_tpu.ops.mathutil import fast_atan2_deg, cv_round
 _FLT_EPS = float(np.float32(1.1920929e-07))
 
 
+def _hist_bins(contrib: jnp.ndarray, bins: jnp.ndarray, n: int,
+               impl: str = "onehot") -> jnp.ndarray:
+    """Weighted histogram of (P,) contributions into n bins, scatter-
+    free (TPU scatters are slow).
+
+    "onehot": one (P, n) one-hot and a (1, P) @ (P, n) matmul — under
+        vmap this materializes an (N, P, n) intermediate.
+    "factored": decompose bin = n2*hi + lo with n2 = ceil(sqrt(n));
+        two (P, n2) one-hots and a (n2, P) @ (P, n2) matmul build the
+        same histogram with ~n/(2*n2) times less intermediate traffic
+        (36 -> 12 floats per sample for n=36). Same math, float sums
+        reassociated.
+    """
+    if impl == "factored":
+        n2 = int(np.ceil(np.sqrt(n)))
+        hi = bins // n2
+        lo = bins - hi * n2
+        oh_hi = (hi[:, None] == jnp.arange(n2)[None, :]
+                 ).astype(jnp.float32)
+        oh_lo = (lo[:, None] == jnp.arange(n2)[None, :]
+                 ).astype(jnp.float32)
+        h2 = (oh_hi * contrib[:, None]).T @ oh_lo        # (n2, n2)
+        return h2.reshape(n2 * n2)[:n]
+    onehot = (bins[:, None] == jnp.arange(n)[None, :]
+              ).astype(jnp.float32)
+    return (contrib[None, :] @ onehot)[0]
+
+
 def orientation_peaks(gauss: jnp.ndarray,
                       layer: jnp.ndarray, r: jnp.ndarray, c: jnp.ndarray,
                       scl_octv: jnp.ndarray, valid: jnp.ndarray,
                       cfg: SIFTConfig = DEFAULT_CONFIG,
-                      row_bounds=None
+                      row_bounds=None,
+                      hist_impl: str = "onehot"
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Compute up to max_ori_peaks orientations per refined keypoint.
 
@@ -86,13 +115,8 @@ def orientation_peaks(gauss: jnp.ndarray,
         bins = cv_round((n / 360.0) * ori)
         bins = jnp.where(bins >= n, bins - n, bins)
         bins = jnp.where(bins < 0, bins + n, bins)
-
-        # one-hot matmul instead of scatter: (1, P) @ (P, n) on the
-        # MXU (vmapped over keypoints -> one batched matmul)
-        onehot = (bins.reshape(-1, 1) == jnp.arange(n)[None, :]
-                  ).astype(jnp.float32)
-        hist = contrib.reshape(1, -1) @ onehot
-        hist = hist[0]
+        hist = _hist_bins(contrib.reshape(-1), bins.reshape(-1), n,
+                          hist_impl)
 
         # circular (1,4,6,4,1)/16 smoothing (src/sift.cpp:440-451)
         sm = (jnp.roll(hist, 2) + jnp.roll(hist, -2)) * (1.0 / 16.0) \

@@ -103,3 +103,22 @@ def test_tiny_image_does_not_crash():
         kp, desc = jsift.detect_and_compute(img, CFG)
         assert desc.shape == (sum(CFG.out_caps), 128)
         assert np.isfinite(np.asarray(desc)).all()
+
+
+def test_orientation_hist_impls_agree():
+    """The factored (6x6 decomposed one-hot) histogram must equal the
+    one-hot matmul and a NumPy bincount oracle (round-3 A/B candidate
+    for the orientation stage)."""
+    import numpy as _np
+    import jax.numpy as _jnp
+    from sift_tpu.ops.orientation import _hist_bins
+    rng = _np.random.default_rng(11)
+    contrib = rng.random(1849).astype(_np.float32)
+    bins = rng.integers(0, 36, 1849).astype(_np.int32)
+    want = _np.bincount(bins, weights=contrib, minlength=36)
+    a = _np.asarray(_hist_bins(_jnp.asarray(contrib),
+                               _jnp.asarray(bins), 36, "onehot"))
+    b = _np.asarray(_hist_bins(_jnp.asarray(contrib),
+                               _jnp.asarray(bins), 36, "factored"))
+    _np.testing.assert_allclose(a, want, rtol=1e-5, atol=1e-4)
+    _np.testing.assert_allclose(b, want, rtol=1e-5, atol=1e-4)

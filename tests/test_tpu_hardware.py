@@ -99,3 +99,59 @@ def test_e2e_pipeline_on_hardware(scene960):
     n = int(np.asarray(kp.count()))
     assert abs(n - 486) <= 5, n
     assert np.isfinite(np.asarray(desc)).all()
+
+
+@needs_tpu
+def test_batched_blur_kernel_parity(scene960):
+    """Round-3 batched (grid-flattened) blur kernel vs the XLA twin,
+    non-interpreted, on real shapes."""
+    import jax.numpy as jnp
+    from sift_tpu.config import DEFAULT_CONFIG as CFG
+    from sift_tpu.ops.conv import gaussian_blur_multi_batch
+    from sift_tpu.ops.conv_pallas import gaussian_blur_multi_batch_pallas
+    sig = CFG.scale_sigmas()[1:]
+    imgs = jnp.asarray(np.stack([scene960,
+                                 np.roll(scene960, 61, axis=1)]))
+    a = np.asarray(gaussian_blur_multi_batch(imgs, sig))
+    b = np.asarray(gaussian_blur_multi_batch_pallas(imgs, sig))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=2e-3)
+
+
+@needs_tpu
+def test_batched_extrema_kernel_parity(scene960):
+    import jax.numpy as jnp
+    from sift_tpu.config import DEFAULT_CONFIG as CFG
+    from sift_tpu.ops import pyramid as pyr
+    from sift_tpu.ops import extrema
+    from sift_tpu.ops.extrema_pallas import extrema_scores_batch_pallas
+    imgs = jnp.asarray(np.stack([scene960,
+                                 np.roll(scene960, 61, axis=1)]))
+    octs = pyr.build_gaussian_pyramid_batch(imgs, CFG)
+    dogs = pyr.build_dog_pyramid_batch(octs)
+    nl = CFG.n_octave_layers
+    for o in (0, 1):
+        got = np.asarray(extrema_scores_batch_pallas(dogs[o], CFG))
+        for b in range(2):
+            mask = np.asarray(extrema.extrema_mask(dogs[o][b], CFG))
+            want = np.where(mask,
+                            np.abs(np.asarray(dogs[o][b])[1:1 + nl]),
+                            -1.0)
+            np.testing.assert_allclose(got[b], want, atol=1e-4)
+
+
+@needs_tpu
+def test_batched_e2e_on_hardware(scene960):
+    """detect_and_compute_batch on the chip must match the per-frame
+    path exactly (the throughput headline's correctness certificate)."""
+    import jax
+    import jax.numpy as jnp
+    from sift_tpu import sift
+    imgs = jnp.asarray(np.stack([scene960,
+                                 np.roll(scene960, 61, axis=1)]))
+    kb, db = sift.detect_and_compute_batch(imgs)
+    for b in range(2):
+        kp, d = sift.detect_and_compute(imgs[b])
+        v = np.asarray(kp.valid)
+        assert (np.asarray(kb.valid)[b] == v).all()
+        np.testing.assert_allclose(np.asarray(db)[b][v],
+                                   np.asarray(d)[v], atol=1e-3)
