@@ -28,6 +28,61 @@ import numpy as np
 
 REF_SECONDS_PER_FRAME_1080P = 10.28  # BASELINE.md, measured refsift
 
+PREFLIGHT_TIMEOUT_S = int(os.environ.get("SIFT_TPU_PREFLIGHT_TIMEOUT", "180"))
+
+_PREFLIGHT_SRC = """
+import time, sys
+t0 = time.time()
+import jax, jax.numpy as jnp, numpy as np
+d = jax.devices()
+x = jnp.ones((256, 256), jnp.bfloat16)
+v = float(np.asarray(jax.jit(lambda a: a @ a)(x))[0, 0])
+assert v == 256.0, v
+print(f"backend={jax.default_backend()} devices={len(d)} "
+      f"init_s={time.time()-t0:.1f}")
+"""
+
+
+def preflight(timeout_s: int = PREFLIGHT_TIMEOUT_S) -> None:
+    """Bounded backend-init probe in a subprocess.
+
+    The axon TPU tunnel can wedge so hard that ``jax.devices()`` never
+    returns (round 3 shipped rc=1 with zero diagnostics — VERDICT.md
+    round-3 weak #1). ``jax.devices()`` cannot be interrupted
+    in-process, so probe in a child with a hard timeout. On failure,
+    emit the headline JSON line with a machine-readable
+    ``backend_unavailable`` marker and exit 0 so the round's artifact
+    is a diagnosed record, not a silent rc=1.
+    """
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PREFLIGHT_SRC],
+            capture_output=True, text=True, timeout=timeout_s)
+        if r.returncode == 0:
+            print(f"# preflight ok: {r.stdout.strip()}", file=sys.stderr)
+            return
+        detail = (r.stderr.strip().splitlines() or ["unknown"])[-1][:500]
+        reason = f"backend init failed rc={r.returncode}"
+    except subprocess.TimeoutExpired:
+        detail = (f"jax backend init did not complete within {timeout_s}s "
+                  "(axon tunnel wedge; see ARCHITECTURE.md round-2/3 "
+                  "findings)")
+        reason = "backend init timeout"
+    result = {
+        "metric": "detect_describe_match_1080p",
+        "value": 0.0,
+        "unit": "frames/s/chip",
+        "vs_baseline": 0.0,
+        "error": "backend_unavailable",
+        "error_reason": reason,
+        "error_detail": detail,
+    }
+    with open("BENCH_PREFLIGHT.json", "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    sys.exit(0)
+
 
 def _enable_compile_cache() -> None:
     import jax
@@ -291,6 +346,8 @@ def bench_batch(batch: int) -> None:
 
 
 def main() -> None:
+    if "--no-preflight" not in sys.argv:
+        preflight()
     if "--stages" in sys.argv:
         bench_stages()
         return

@@ -285,7 +285,15 @@ def main(argv=None) -> int:
     ap.add_argument("--skip-recall", action="store_true")
     ap.add_argument("--skip-mapping", action="store_true",
                     help="skip the config-5 end-to-end mapping eval")
+    ap.add_argument("--platform", default="auto",
+                    choices=["auto", "cpu"],
+                    help="cpu: pin jax to CPU (quality gates are "
+                         "platform-independent; lets the artifact land "
+                         "when the TPU tunnel is wedged)")
     args = ap.parse_args(argv)
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     rng = np.random.default_rng(args.seed)
     report = {

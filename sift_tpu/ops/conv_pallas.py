@@ -129,10 +129,14 @@ def _vpass(x: jnp.ndarray, kmat: np.ndarray, w: int,
     return out[:, :h, :wd]
 
 
-@functools.partial(jax.jit, static_argnames=("sigmas", "interpret"))
-def _blur_multi(img: jnp.ndarray, sigmas, interpret: bool) -> jnp.ndarray:
+@functools.partial(jax.jit,
+                   static_argnames=("sigmas", "interpret", "apply_quirk"))
+def _blur_multi(img: jnp.ndarray, sigmas, interpret: bool,
+                apply_quirk: bool = True) -> jnp.ndarray:
     kmat, w = _stack_kernels(list(sigmas))
-    x = _zero_last_row_col(img.astype(jnp.float32))
+    x = img.astype(jnp.float32)
+    if apply_quirk:
+        x = _zero_last_row_col(x)
     v = _vpass(x[None], kmat, w, interpret)          # (S, H, W)
     vt = jnp.transpose(v, (0, 2, 1))                 # (S, W, H)
     ht = _vpass(vt, kmat, w, interpret)              # (S, W, H)
@@ -140,10 +144,15 @@ def _blur_multi(img: jnp.ndarray, sigmas, interpret: bool) -> jnp.ndarray:
 
 
 def gaussian_blur_multi_pallas(img: jnp.ndarray,
-                               sigmas: Sequence[float]) -> jnp.ndarray:
-    """Blur one image with several sigmas at once: (H, W) -> (S, H, W)."""
+                               sigmas: Sequence[float],
+                               apply_quirk: bool = True) -> jnp.ndarray:
+    """Blur one image with several sigmas at once: (H, W) -> (S, H, W).
+
+    apply_quirk=False skips the in-function getSubMatrix last-row/col
+    zeroing for callers that apply the quirk in GLOBAL coordinates
+    themselves (the spatially-tiled path, parallel/spatial.py)."""
     return _blur_multi(img, tuple(float(s) for s in sigmas),
-                       _interpret())
+                       _interpret(), apply_quirk)
 
 
 @functools.partial(jax.jit, static_argnames=("sigmas", "interpret"))

@@ -75,10 +75,20 @@ def bundle_adjust_point_sharded(prob: BAProblem, mesh: Mesh,
 
     Returns `prob` with updated cameras/points (original ordering).
     """
-    axis = mesh.axis_names[0]
-    n = mesh.shape[axis]
+    fn = _point_sharded_device_fn(mesh, iters, cg_iters, huber_delta,
+                                  loss, lam0)
+    inputs, p_total = point_sharded_inputs(prob, mesh)
+    cams_out, pts_out = jax.jit(fn)(*inputs)
+    return prob._replace(cameras=cams_out,
+                         points=pts_out[:p_total])
 
-    # ---- host-side partition: contiguous point blocks ----
+
+def point_sharded_inputs(prob: BAProblem, mesh: Mesh):
+    """Host-side partition of a BAProblem into contiguous point blocks
+    (one per device) for the point-sharded adjuster. Returns
+    (device_fn_args, n_points). Exposed so bench_scaling.py can lower
+    the device function for the collective census."""
+    n = mesh.shape[mesh.axis_names[0]]
     pt_idx = np.asarray(prob.pt_idx)
     cam_idx = np.asarray(prob.cam_idx)
     uv = np.asarray(prob.uv)
@@ -102,6 +112,17 @@ def bundle_adjust_point_sharded(prob: BAProblem, mesh: Mesh,
         l_pt[b, :k] = pt_idx[sel] - b * pp    # local point index
         l_uv[b, :k] = uv[sel]
         l_mask[b, :k] = True
+    inputs = (prob.cameras, prob.fixed_cams,
+              jnp.asarray(pts_pad.reshape(n, pp, 3)),
+              jnp.asarray(l_cam), jnp.asarray(l_pt),
+              jnp.asarray(l_uv), jnp.asarray(l_mask))
+    return inputs, p_total
+
+
+def _point_sharded_device_fn(mesh: Mesh, iters: int, cg_iters: int,
+                             huber_delta: float, loss: str,
+                             lam0: float):
+    axis = mesh.axis_names[0]
 
     def local(cameras, fixed, pts_l, cam_i, pt_i, uv_l, m_l):
         psum = functools.partial(jax.lax.psum, axis_name=axis)
@@ -117,13 +138,6 @@ def bundle_adjust_point_sharded(prob: BAProblem, mesh: Mesh,
         return out.cameras, pts_all.reshape(-1, 3)
 
     sh = P(axis)
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(), P(), sh, sh, sh, sh, sh),
-                   out_specs=(P(), P()), check_vma=False)
-    cams_out, pts_out = jax.jit(fn)(
-        prob.cameras, prob.fixed_cams,
-        jnp.asarray(pts_pad.reshape(n, pp, 3)),
-        jnp.asarray(l_cam), jnp.asarray(l_pt), jnp.asarray(l_uv),
-        jnp.asarray(l_mask))
-    return prob._replace(cameras=cams_out,
-                         points=pts_out[:p_total])
+    return shard_map(local, mesh=mesh,
+                     in_specs=(P(), P(), sh, sh, sh, sh, sh),
+                     out_specs=(P(), P()), check_vma=False)

@@ -53,6 +53,23 @@ from sift_tpu.ops import extrema as ext
 from sift_tpu.ops import descriptor as desc_mod
 from sift_tpu import sift
 
+import os
+
+
+def _band_blur(x: jnp.ndarray, sigmas) -> jnp.ndarray:
+    """Blur dispatch for the haloed band inside shard_map: the fused
+    Pallas kernel on TPU (the XLA conv twin measured ~90x slower
+    there), XLA twin elsewhere. SIFT_TPU_TILED_PALLAS=1 forces the
+    Pallas formulation (interpret-mode on CPU) so the parity tests
+    exercise the kernel path the TPU runs. The quirk zeroing is
+    applied by the caller in GLOBAL coordinates (_zero_beyond), so
+    both branches run quirk-free."""
+    if (jax.default_backend() == "tpu"
+            or os.environ.get("SIFT_TPU_TILED_PALLAS") == "1"):
+        from sift_tpu.ops.conv_pallas import gaussian_blur_multi_pallas
+        return gaussian_blur_multi_pallas(x, sigmas, apply_quirk=False)
+    return conv.gaussian_blur_multi(x, sigmas, apply_quirk=False)
+
 
 def _true_heights(h: int, n_octaves: int):
     out = [h]
@@ -108,14 +125,13 @@ def _tiled_octave(band: jnp.ndarray, octave: int, gr0, h_true: int,
     if first:
         # createInitialImage: the stored base is the RAW init-blur
         # output; the quirk applies to each blur's input copy only
-        base_p = conv.gaussian_blur_multi(
+        base_p = _band_blur(
             _zero_beyond(padded, gr0p, h_true, w_true),
-            (cfg.init_blur_sigma,), apply_quirk=False)[0]
+            (cfg.init_blur_sigma,))[0]
     else:
         base_p = padded
-    layers = conv.gaussian_blur_multi(
-        _zero_beyond(base_p, gr0p, h_true, w_true), sig[1:],
-        apply_quirk=False)
+    layers = _band_blur(
+        _zero_beyond(base_p, gr0p, h_true, w_true), sig[1:])
     gauss = jnp.concatenate([base_p[None], layers], axis=0)
     dog = gauss[1:] - gauss[:-1]
 
@@ -164,12 +180,13 @@ def _tail_octaves(base: jnp.ndarray, start_octave: int,
     the standard single-device per-octave path."""
     sig = cfg.scale_sigmas()
     nl = cfg.n_octave_layers
+    from sift_tpu.ops.pyramid import _blur_multi as _pyr_blur
     kp_parts, d_parts = [], []
     for o in range(start_octave, cfg.n_octaves):
         if o > start_octave:
             h2, w2 = base.shape[0] // 2, base.shape[1] // 2
             base = base[:2 * h2, :2 * w2].reshape(h2, 2, w2, 2)[:, 0, :, 0]
-        layers = conv.gaussian_blur_multi(base, sig[1:])
+        layers = _pyr_blur(base, sig[1:])
         gauss = jnp.concatenate([base[None], layers], axis=0)
         dog = gauss[1:] - gauss[:-1]
         if sift._octave_usable(gauss.shape[1:], cfg):

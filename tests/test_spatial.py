@@ -45,6 +45,35 @@ def test_tiled_matches_single_device(scene_gray_small):
     np.testing.assert_allclose(dt, ds, rtol=0, atol=1e-3)
 
 
+@pytest.mark.slow
+def test_tiled_pallas_band_blur_matches_single_device(
+        scene_gray_small, monkeypatch):
+    """The TPU-routed band blur (Pallas kernel, interpret-mode here)
+    must keep the tiled path's exact parity — this gates VERDICT r3
+    item 4 (tiled octaves used to run the XLA conv twin on TPU)."""
+    monkeypatch.setenv("SIFT_TPU_TILED_PALLAS", "1")
+    img = jnp.asarray(scene_gray_small)
+    mesh = default_mesh(2)
+    kp_t, d_t = detect_and_compute_tiled(img, mesh, CFG,
+                                         tiled_octaves=1)
+    kp_s, d_s = sift.detect_and_compute(img, CFG)
+    xt, dt = _valid_set(kp_t, d_t)
+    xs, ds = _valid_set(kp_s, d_s)
+    assert len(xs) > 30, "degenerate fixture"
+    assert len(xt) == len(xs), (len(xt), len(xs))
+    np.testing.assert_allclose(xt, xs, rtol=0, atol=1e-3)
+    # descriptors: the Pallas blur's tap-accumulation order differs
+    # from the XLA conv reduction order by ~1e-6 in the blurred
+    # images; the descriptor's saturate-to-uchar step (sift.cpp:710)
+    # can flip a borderline count by 1 (~0.01 after the sqrt-L1
+    # tail). Bound both the per-element error and how many elements
+    # may sit on that quantization boundary. On TPU both paths run
+    # the SAME kernel, so hardware parity is the tighter HW-lane gate.
+    err = np.abs(dt - ds)
+    assert err.max() < 2e-2, err.max()
+    assert (err > 1e-3).mean() < 1e-3, (err > 1e-3).mean()
+
+
 @pytest.fixture(scope="module")
 def scene_gray_small():
     import cv2

@@ -1,8 +1,10 @@
 """One command for the per-round on-hardware artifacts (VERDICT #5).
 
 Runs, on the real chip:
+  0. bounded backend-init preflight (exit 2 + marker if wedged)
   1. SIFT_TPU_HW_TESTS=1 pytest tests/test_tpu_hardware.py  -> HW_TESTS.json
   2. python bench.py --stages                               -> BENCH_STAGES.json
+     python bench.py --internals                            -> BENCH_INTERNALS.json
   3. python bench.py --batch N                              -> BENCH_BATCH.json
   4. python -m sift_tpu.eval --gate --out EVAL.json
   5. python bench.py                                        (headline, stdout)
@@ -42,6 +44,29 @@ def main() -> int:
     args = ap.parse_args()
     failures = []
 
+    # 0. bounded backend-init preflight (the axon tunnel can wedge so
+    # that jax.devices() never returns; don't let step 1 eat its whole
+    # 1800s timeout discovering that)
+    sys.path.insert(0, REPO)
+    import bench
+    try:
+        p, dt = run([sys.executable, "-c", bench._PREFLIGHT_SRC],
+                    timeout=bench.PREFLIGHT_TIMEOUT_S)
+        ok = p.returncode == 0
+        detail = (p.stdout or p.stderr or "").strip()[-300:]
+    except subprocess.TimeoutExpired:
+        ok, dt = False, float(bench.PREFLIGHT_TIMEOUT_S)
+        detail = "backend init timeout (axon tunnel wedge)"
+    if not ok:
+        rec = {"error": "backend_unavailable", "detail": detail,
+               "wall_s": round(dt, 1)}
+        with open(os.path.join(REPO, "HW_TESTS.json"), "w") as fh:
+            json.dump(rec, fh, indent=2)
+        print("backend unavailable — no hardware artifacts refreshed:",
+              detail, file=sys.stderr)
+        return 2
+    print(f"preflight ok ({dt:.0f}s): {detail}")
+
     # 1. on-hardware kernel parity lane
     p, dt = run([sys.executable, "-m", "pytest",
                  "tests/test_tpu_hardware.py", "-q"],
@@ -61,8 +86,9 @@ def main() -> int:
         failures.append("hw_tests")
         print(p.stdout[-2000:], file=sys.stderr)
 
-    # 2-3. stage + batched benches (each writes its own artifact)
-    for extra in (["--stages"], ["--batch", str(args.batch)]):
+    # 2-3. stage/internals/batched benches (each writes its own artifact)
+    for extra in (["--stages"], ["--internals"],
+                  ["--batch", str(args.batch)]):
         p, dt = run([sys.executable, "bench.py"] + extra)
         print(f"bench {extra}: rc={p.returncode} {dt:.0f}s")
         if p.returncode != 0:
