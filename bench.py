@@ -277,6 +277,49 @@ def bench_internals() -> None:
     print(json.dumps(out))
 
 
+def bench_ori_ab() -> None:
+    """On-chip A/B of the orientation histogram formulation (VERDICT
+    r3 item 7): detect at 1080p with ori_hist_impl onehot vs factored.
+    Writes ORI_AB.json; the loser gets deleted."""
+    _enable_compile_cache()
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from sift_tpu import sift
+    from sift_tpu.config import DEFAULT_CONFIG
+
+    import cv2
+    big = cv2.imread("/root/reference/data/scene.jpg")
+    f0 = jnp.asarray(cv2.cvtColor(cv2.resize(big, (1920, 1080)),
+                                  cv2.COLOR_RGB2GRAY).astype(np.float32))
+
+    def chain(fn, k=8):
+        def run(kk):
+            t0 = time.perf_counter()
+            acc = jnp.float32(0.1)
+            for _ in range(kk):
+                acc = fn(acc)
+            float(np.asarray(acc))
+            return time.perf_counter() - t0
+        run(1)
+        r1 = min(run(1) for _ in range(3))
+        rk = min(run(k) for _ in range(2))
+        return 1000.0 * (rk - r1) / (k - 1)
+
+    out = {"backend": jax.default_backend(), "detect_ms": {}}
+    for impl in ("onehot", "factored"):
+        cfg = dataclasses.replace(DEFAULT_CONFIG, ori_hist_impl=impl)
+
+        def det(acc, cfg=cfg):
+            kp, octs = sift.detect(f0 + acc * 1e-9, cfg)
+            return kp.x[0] * 1e-9 + acc
+
+        out["detect_ms"][impl] = round(chain(det), 2)
+    with open("ORI_AB.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
 def bench_batch(batch: int) -> None:
     """Throughput operating point: B frames per dispatch on ONE chip
     (detect_and_compute_batch + batched matcher), frames/s/chip.
@@ -356,6 +399,9 @@ def main() -> None:
         return
     if "--internals" in sys.argv:
         bench_internals()
+        return
+    if "--ori-ab" in sys.argv:
+        bench_ori_ab()
         return
     _enable_compile_cache()
     import jax

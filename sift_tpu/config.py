@@ -65,6 +65,12 @@ class SIFTConfig:
     out_caps: Tuple[int, ...] = (1024, 256, 128, 64, 64)
     # Max orientation peaks expanded per refined keypoint.
     max_ori_peaks: int = 4
+    # Orientation histogram formulation: "onehot" materializes one
+    # (P, 36) one-hot per keypoint; "factored" two (P, 6) one-hots
+    # (~3x less intermediate traffic, same math reassociated). Parity
+    # tested in tests/test_ori_cap.py; default decided by on-chip A/B
+    # (bench.py --internals).
+    ori_hist_impl: str = "onehot"
     # Final global keypoint budget after cross-octave compaction.
     max_keypoints: int = 4096
     # Matcher ratio-test threshold (reference src/main.cpp:38).

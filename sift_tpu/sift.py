@@ -73,7 +73,7 @@ def _octave_tail(gauss, dog, layer0, r0, c0, valid0, octave: int,
     size = scl_octv * (1 << octave) * 2.0           # src/sift.cpp:384
     angles, ok = ori.orientation_peaks(
         gauss, rf.layer, rf.r, rf.c, scl_octv, rf.valid, cfg,
-        row_bounds=row_bounds)
+        row_bounds=row_bounds, hist_impl=cfg.ori_hist_impl)
 
     k = cfg.max_ori_peaks
     scale = float(1 << octave)
