@@ -101,7 +101,9 @@ def main(argv=None) -> int:
     # have truncated (reference emits unboundedly, src/sift.cpp:538)
     from sift_tpu import sift as _sift
     from sift_tpu.utils.logger import COUNTERS, get_logger
-    for name, kp in (("scene", det.scene_kp), ("object", det.object_kp)):
+    from sift_tpu.ops import pyramid as _pyr
+    for name, kp, img in (("scene", det.scene_kp, scene),
+                          ("object", det.object_kp, obj)):
         sat = np.asarray(_sift.octave_saturation(kp, cfg))
         for o in np.where(sat)[0]:
             COUNTERS.inc(f"out_cap_saturated/{name}/octave{o}")
@@ -109,6 +111,18 @@ def main(argv=None) -> int:
                 "octave %d of %s hit out_caps[%d]=%d: weakest keypoints "
                 "may be truncated; raise SIFTConfig.out_caps",
                 o, name, o, cfg.out_caps[o])
+        # candidate-level truncation happens before refinement and is
+        # invisible in the output batch (the rotate1080 lesson) —
+        # count the dense NMS mask directly
+        csat = np.asarray(_sift.candidate_saturation(
+            _pyr.build_gaussian_pyramid(img, cfg), cfg))
+        for o in np.where(csat)[0]:
+            COUNTERS.inc(f"detect_cap_saturated/{name}/octave{o}")
+            get_logger("cli").warning(
+                "octave %d of %s exceeded detect_caps[%d]=%d NMS "
+                "survivors: weakest candidates dropped pre-refinement; "
+                "raise SIFTConfig.detect_caps",
+                o, name, o, cfg.detect_caps[o])
 
     n_scene = int(np.asarray(det.scene_kp.count()))
     n_obj = int(np.asarray(det.object_kp.count()))

@@ -52,10 +52,14 @@ class SIFTConfig:
 
     # --- static-shape sizing (TPU-specific; no reference counterpart) ---
     # Max extremum candidates surfaced per octave (before refinement).
-    # Measured 1080p NMS survivor counts are (1664, 722, 265, 80, 30);
-    # truncation is |response|-ranked, so saturating a cap drops the
-    # weakest candidates first (and sift.octave_saturation flags it).
-    detect_caps: Tuple[int, ...] = (2048, 1024, 512, 256, 128)
+    # Measured 1080p NMS survivor counts: (1664, 722, 265, 80, 30) on
+    # scene.jpg, but (2481, 898, 280, ...) on the rotated invariance
+    # probe at 1080p (rotation boundaries are extrema-dense) — the old
+    # (2048, 1024, ...) caps silently dropped the 433 weakest octave-0
+    # candidates there and cost 65 keypoints vs the reference (the
+    # round-4 rotate1080 recall failure). Truncation is
+    # |response|-ranked; sift.candidate_saturation flags a full cap.
+    detect_caps: Tuple[int, ...] = (4096, 2048, 512, 256, 128)
     # Final per-octave keypoint/descriptor capacity after refinement +
     # orientation expansion. Measured valid counts: (685, 167, 63, 30,
     # 21) at 1080p, (1017, 225, 63, 40, 19) at full-res 2048x1280 —

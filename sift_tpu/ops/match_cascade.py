@@ -68,7 +68,8 @@ def _projection(d: int, d_proj: int, seed: int) -> jnp.ndarray:
 
 @functools.partial(jax.jit,
                    static_argnames=("n_candidates", "d_proj", "ratio",
-                                    "seed", "tile"))
+                                    "seed", "tile",
+                                    "downstream_verified"))
 def match_ratio_cascade(query: jnp.ndarray, train: jnp.ndarray,
                         q_valid: Optional[jnp.ndarray] = None,
                         t_valid: Optional[jnp.ndarray] = None,
@@ -76,13 +77,25 @@ def match_ratio_cascade(query: jnp.ndarray, train: jnp.ndarray,
                         n_candidates: int = 64,
                         d_proj: int = 16,
                         seed: int = 7,
-                        tile: int = 512) -> Matches:
+                        tile: int = 512,
+                        downstream_verified: bool = True) -> Matches:
     """Cascade kNN + Lowe ratio test: (N, D) x (M, D) -> Matches.
 
     Matches the exact matcher's semantics wherever the true top-2
     train rows land in the coarse top-C (measured >=99.9% of
     decisions on corpus pairs at C=64).
+
+    downstream_verified: keep the default True ONLY when the matches
+    feed geometric verification (RANSAC/essential), which absorbs the
+    measured ~1-2% hallucination rate on match-free queries (CASCADE
+    .json). Pass False when raw decisions are consumed directly —
+    the candidate depth is then raised to >=128, the depth at which
+    hallucinations measured <=1 per 130 match-free queries through
+    131k rows. This makes the docstring rule enforceable instead of
+    advisory (round-3 review, VERDICT weak #7).
     """
+    if not downstream_verified:
+        n_candidates = max(n_candidates, 128)
     n, d = query.shape
     m = train.shape[0]
     if n == 0:

@@ -127,6 +127,32 @@ def detect(img: jnp.ndarray, cfg: SIFTConfig = DEFAULT_CONFIG
     return Keypoints.concatenate(tuple(parts)), octs
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def candidate_saturation(octs: List[jnp.ndarray],
+                         cfg: SIFTConfig = DEFAULT_CONFIG
+                         ) -> jnp.ndarray:
+    """(n_octaves,) bool: octave o's NMS survivors exceed its
+    detect_caps[o] candidate budget.
+
+    Candidate-level truncation happens BEFORE refinement, where
+    refinement typically rejects ~70-80% — so a saturated candidate
+    cap loses keypoints invisibly to octave_saturation's output-batch
+    check (that is exactly how the rotate1080 recall failure hid:
+    2481 survivors > 2048 cap with the output batch only 190/1024
+    full). Counts the exact dense mask, so the flag is authoritative;
+    callers (cli/eval) surface it and should raise detect_caps.
+    """
+    dogs = pyr.build_dog_pyramid(octs)
+    flags = []
+    for o in range(cfg.n_octaves):
+        if _octave_usable(octs[o].shape[1:], cfg):
+            m = ext.extrema_mask(dogs[o], cfg)
+            flags.append(jnp.sum(m) > cfg.detect_caps[o])
+        else:
+            flags.append(jnp.asarray(False))
+    return jnp.stack(flags)
+
+
 def octave_saturation(kp: Keypoints, cfg: SIFTConfig = DEFAULT_CONFIG
                       ) -> jnp.ndarray:
     """(n_octaves,) bool: octave o's output batch is (near-)full.

@@ -31,6 +31,7 @@ def _tiny_problem(rng):
                      jnp.ones(n_obs, bool), jnp.asarray(fixed))
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(rng, tmp_path):
     prob = _tiny_problem(rng)
     path = ckpt.save_ba(str(tmp_path / "ba_7"), prob, step=7)

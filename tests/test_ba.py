@@ -107,6 +107,7 @@ def test_ba_robust_to_outliers(rng):
     assert float(reproj_rmse(clean)) < 2e-3
 
 
+@pytest.mark.slow
 def test_ba_sharded_matches_single(rng):
     import jax
     from sift_tpu.parallel import default_mesh
@@ -123,6 +124,7 @@ def test_ba_sharded_matches_single(rng):
     assert float(reproj_rmse(out_s)) < 1.5e-3
 
 
+@pytest.mark.slow
 def test_ba_point_sharded_matches_single(rng):
     """Map-block sharding: points partitioned across the mesh, only
     the camera system psum'd. Must converge like the dense adjuster."""

@@ -38,6 +38,7 @@ def test_blur_batch_matches_single():
         np.testing.assert_allclose(batched[b], single, rtol=0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pyramid_batch_matches_single():
     imgs = _frames(2)
     octs_b = pyr.build_gaussian_pyramid_batch(jnp.asarray(imgs))
@@ -49,6 +50,7 @@ def test_pyramid_batch_matches_single():
                                        rtol=0, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_detect_and_compute_batch_parity():
     imgs = _frames(3)
     kp_b, d_b = sift.detect_and_compute_batch(jnp.asarray(imgs))
@@ -70,6 +72,7 @@ def test_detect_and_compute_batch_parity():
                                    rtol=0, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_batch_of_one_matches_single():
     imgs = _frames(1)
     kp_b, d_b = sift.detect_and_compute_batch(jnp.asarray(imgs))

@@ -3,6 +3,7 @@ mode on CPU; the TPU path is exercised by bench/CLI)."""
 
 import numpy as np
 import numpy.random as _np_rng_mod
+import pytest
 import jax.numpy as jnp
 
 from sift_tpu.config import DEFAULT_CONFIG as CFG
@@ -37,6 +38,7 @@ def rng():
     return _np_rng_mod.default_rng(0)
 
 
+@pytest.mark.slow
 def test_pallas_blur_batch_matches_conv(rng):
     from sift_tpu.ops.conv_pallas import gaussian_blur_multi_batch_pallas
     imgs = (rng.random((3, 72, 104)) * 255).astype(np.float32)

@@ -4,6 +4,7 @@ mode on CPU)."""
 import dataclasses
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sift_tpu.config import DEFAULT_CONFIG
@@ -17,6 +18,7 @@ from sift_tpu.ops import descriptor as desc_xla
 from sift_tpu.ops.descriptor_pallas import descriptors_octave_pallas
 
 
+@pytest.mark.slow
 def test_pallas_descriptor_matches_xla(small_image):
     octs = pyr.build_gaussian_pyramid(jnp.asarray(small_image), CFG)
     dogs = pyr.build_dog_pyramid(octs)

@@ -94,6 +94,7 @@ def test_descriptors_match_oracle(oracle_result, jax_result):
     assert np.quantile(l1, 0.9) < 0.2, float(np.quantile(l1, 0.9))
 
 
+@pytest.mark.slow
 def test_tiny_image_does_not_crash():
     """Images whose deep octaves shrink below the NMS/refinement
     window must degrade gracefully (empty batches), not crash."""

@@ -56,6 +56,7 @@ def test_two_process_distributed():
             assert marker in out, f"worker {i} missing {marker}:\n{out}"
 
 
+@pytest.mark.slow
 def test_partitioned_posegraph_virtual_mesh():
     import jax
     from sift_tpu.parallel import default_mesh

@@ -41,6 +41,7 @@ def test_so3_roundtrip(rng):
         np.testing.assert_allclose(w2, w, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_essential_ransac_recovers_pose(rng):
     r_true, t_true, x, p0, p1, is_in = _two_view_case(rng)
     res = find_essential_ransac(p0, p1, threshold=2e-3)
@@ -55,6 +56,7 @@ def test_essential_ransac_recovers_pose(rng):
     assert cos > np.cos(np.deg2rad(2.0)), cos
 
 
+@pytest.mark.slow
 def test_five_point_minimal_solver_exact():
     """Noise-free 5-point samples must contain the true essential
     matrix among the candidate set."""
@@ -82,6 +84,7 @@ def test_five_point_minimal_solver_exact():
         assert err < 5e-3, err
 
 
+@pytest.mark.slow
 def test_five_point_beats_eight_point_at_low_inlier_ratio():
     """At 50% outliers with a small hypothesis budget, the 5-point
     minimal sample's higher contamination survival (0.5^5 vs 0.5^8)

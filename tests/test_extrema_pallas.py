@@ -2,6 +2,7 @@
 
 import numpy as np
 import numpy.random as _np_rng_mod
+import pytest
 import jax.numpy as jnp
 
 from sift_tpu.config import DEFAULT_CONFIG as CFG
@@ -40,6 +41,7 @@ def rng():
     return _np_rng_mod.default_rng(0)
 
 
+@pytest.mark.slow
 def test_pallas_scores_batch_match_mask(small_image, rng):
     from sift_tpu.ops.extrema_pallas import extrema_scores_batch_pallas
     nl = CFG.n_octave_layers

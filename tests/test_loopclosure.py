@@ -58,6 +58,7 @@ def sequence():
     return cams, kp_xy, descs, valids, kp_of_pt, odo
 
 
+@pytest.mark.slow
 def test_loop_closures_found_and_correct(sequence):
     cams, kp_xy, descs, valids, kp_of_pt, odo = sequence
     closures = find_loop_closures(descs, valids, kp_xy, min_gap=5)
@@ -73,6 +74,7 @@ def test_loop_closures_found_and_correct(sequence):
         assert c.n_inliers >= 16
 
 
+@pytest.mark.slow
 def test_reconstruct_with_closures(sequence):
     cams_true, kp_xy, descs, valids, kp_of_pt, odo = sequence
     closures = find_loop_closures(descs, valids, kp_xy, min_gap=5)

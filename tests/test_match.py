@@ -72,6 +72,7 @@ def test_match_ratio_respects_query_mask(descs):
     assert not np.asarray(res.good)[10:].any()
 
 
+@pytest.mark.slow
 def test_end_to_end_match_recall(small_image):
     """Detect+describe+match on a shifted crop pair; compare the good
     match set to the oracle pipeline's (BASELINE.json config-1 style)."""

@@ -11,6 +11,7 @@ peak-ratio + strict-local-max rule makes >4 peaks vanishingly rare).
 import dataclasses
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sift_tpu.config import DEFAULT_CONFIG
@@ -20,6 +21,7 @@ from sift_tpu.ops import refine as ref
 from sift_tpu.ops import orientation as ori
 
 
+@pytest.mark.slow
 def test_four_ori_peaks_suffice(book_gray):
     cfg8 = dataclasses.replace(DEFAULT_CONFIG, max_ori_peaks=8)
     octs = pyr.build_gaussian_pyramid(jnp.asarray(book_gray), cfg8)

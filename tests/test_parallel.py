@@ -28,6 +28,7 @@ def frame_batch(small_image):
     return np.stack(crops).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_batched_detect_matches_single(frame_batch, mesh8):
     kp, desc = batched_detect_and_compute(jnp.asarray(frame_batch), mesh8)
     assert desc.shape[0] == 8

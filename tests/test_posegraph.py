@@ -2,6 +2,7 @@
 
 import numpy as np
 import numpy.random as _np_rng_mod
+import pytest
 import jax.numpy as jnp
 
 from sift_tpu.geometry import lie
@@ -69,6 +70,7 @@ def test_loop_closure_fixes_drift(rng):
     assert ate1 < 0.05, ate1
 
 
+@pytest.mark.slow
 def test_long_chain_scales(rng):
     """O(E) normal-equation assembly: a long drifting chain with loop
     closures optimizes in unit-test time (the old whole-problem jacfwd

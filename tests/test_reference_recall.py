@@ -19,6 +19,7 @@ DATA = "/root/reference/data"
 @pytest.mark.skipif(not (os.path.exists(GOLDEN)
                          and os.path.isdir(DATA)),
                     reason="golden reference dump or corpus absent")
+@pytest.mark.slow
 def test_config1_recall_vs_compiled_reference():
     from sift_tpu.eval import eval_reference_recall
     (r,) = eval_reference_recall(DATA, pairs=["book"])

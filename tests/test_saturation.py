@@ -8,6 +8,7 @@ full output batches.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sift_tpu import sift
@@ -39,6 +40,7 @@ def test_topk_exact_under_block_saturation():
     assert got == want, f"{len(want - got)} top candidates dropped"
 
 
+@pytest.mark.slow
 def test_octave_saturation_flags_full_batches():
     cfg = SIFTConfig(detect_caps=(64, 32, 16, 8, 8),
                      out_caps=(16, 8, 8, 8, 8), max_keypoints=128)
@@ -64,3 +66,29 @@ def test_octave_saturation_flags_full_batches():
     kp2, _ = sift.detect(np.zeros((96, 128), np.float32), cfg)
     sat2 = np.asarray(sift.octave_saturation(kp2, cfg))
     assert not sat2.any(), sat2
+
+
+def test_candidate_saturation_flags_pre_refine_truncation():
+    """Candidate-cap overflow happens BEFORE refinement, so the
+    output batch can look comfortably under-full while the weakest
+    NMS survivors were silently dropped — exactly how rotate1080 lost
+    65 reference keypoints (round 4). candidate_saturation counts the
+    dense mask and must fire; octave_saturation alone must NOT be
+    relied on for this."""
+    import cv2
+    cfg = SIFTConfig(detect_caps=(32, 16, 8, 8, 8),
+                     out_caps=(64, 16, 8, 8, 8), max_keypoints=128)
+    rng = np.random.default_rng(3)
+    img = np.zeros((96, 128), np.float32)
+    rr, cc = np.meshgrid(np.arange(8, 88, 10), np.arange(8, 120, 10),
+                         indexing="ij")
+    img[rr, cc] = 200.0 + rng.random(rr.shape).astype(np.float32) * 55.0
+    img = cv2.GaussianBlur(img, (0, 0), 2.2) * 30.0  # ~88 survivors
+    from sift_tpu.ops import pyramid as pyr
+    octs = pyr.build_gaussian_pyramid(jnp.asarray(img), cfg)
+    csat = np.asarray(sift.candidate_saturation(octs, cfg))
+    assert csat[0], csat
+    octs2 = pyr.build_gaussian_pyramid(
+        jnp.zeros((96, 128), jnp.float32), cfg)
+    csat2 = np.asarray(sift.candidate_saturation(octs2, cfg))
+    assert not csat2.any(), csat2

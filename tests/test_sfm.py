@@ -93,6 +93,7 @@ def test_build_tracks(rng):
     assert lengths.max() >= 4     # long tracks survive the chaining
 
 
+@pytest.mark.slow
 def test_incremental_sfm_ate(rng):
     cams_true, pts, kp_xy, matches = _synthetic_sequence(rng)
     rec = reconstruct(kp_xy, matches)
@@ -105,6 +106,7 @@ def test_incremental_sfm_ate(rng):
     assert ate < 0.02, ate
 
 
+@pytest.mark.slow
 def test_incremental_sfm_pnp_failure_isolated(rng):
     """A view whose PnP registration fails must be quarantined: its
     observations stay out of BA (previously its NaN camera poisoned
@@ -128,6 +130,7 @@ def test_incremental_sfm_pnp_failure_isolated(rng):
     assert ate_rmse(est_c, gt_c) < 0.02
 
 
+@pytest.mark.slow
 def test_incremental_sfm_long_sequence_windowed(rng):
     """50-frame corridor sequence through the windowed driver: local
     BA windows + retriangulation + capacity-ladder padding. Gates:
@@ -152,6 +155,7 @@ def test_incremental_sfm_long_sequence_windowed(rng):
     assert 0 < len(shapes) <= 10, shapes
 
 
+@pytest.mark.slow
 def test_incremental_sfm_100_frames(rng):
     """100-frame corridor reconstruction inside unit-test wall time
     (round-3 verdict gate: the driver's bookkeeping must be O(O)
