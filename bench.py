@@ -320,6 +320,60 @@ def bench_ori_ab() -> None:
     print(json.dumps(out))
 
 
+def bench_band() -> None:
+    """Band-shaped blur timings for the spatial-tiling projection
+    (VERDICT r3 item 4): the tiled path's per-device unit of work is a
+    haloed row band of a 4K frame. Times the fused Pallas kernel vs
+    the XLA conv twin on such bands; writes BENCH_BAND.json. The
+    multi-chip projection is band_ms + one ppermute halo exchange
+    (~2*halo*W*4 bytes over ICI) per octave."""
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    from sift_tpu.config import DEFAULT_CONFIG as CFG
+    from sift_tpu.ops.conv import gaussian_blur_multi
+    from sift_tpu.ops.conv_pallas import gaussian_blur_multi_pallas
+
+    halo = 64
+    sig = CFG.scale_sigmas()[1:]
+    rng = np.random.default_rng(0)
+
+    def chain(fn, x, k=8):
+        def run(kk):
+            t0 = time.perf_counter()
+            acc = jnp.float32(0.1)
+            for _ in range(kk):
+                acc = fn(x + acc * 1e-9)
+            float(np.asarray(acc))
+            return time.perf_counter() - t0
+        run(1)
+        r1 = min(run(1) for _ in range(3))
+        rk = min(run(k) for _ in range(2))
+        return 1000.0 * (rk - r1) / (k - 1)
+
+    out = {"backend": jax.default_backend(), "halo": halo, "bands": {}}
+    # a 4-device and an 8-device split of a 2160-row 4K frame
+    for n_dev, h4k, w4k in ((4, 2160, 3840), (8, 2160, 3840)):
+        hb = -(-h4k // n_dev) + 2 * halo
+        x = jnp.asarray(rng.random((hb, w4k), np.float32) * 255)
+
+        @jax.jit
+        def pal(img):
+            return jnp.sum(gaussian_blur_multi_pallas(img, sig)[:, 0, :2]) * 1e-9
+
+        @jax.jit
+        def xla(img):
+            return jnp.sum(gaussian_blur_multi(img, sig)[:, 0, :2]) * 1e-9
+
+        out["bands"][f"{n_dev}dev_{hb}x{w4k}"] = {
+            "pallas_ms": round(chain(pal, x), 3),
+            "xla_ms": round(chain(xla, x), 3),
+        }
+    with open("BENCH_BAND.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
 def bench_batch(batch: int) -> None:
     """Throughput operating point: B frames per dispatch on ONE chip
     (detect_and_compute_batch + batched matcher), frames/s/chip.
@@ -402,6 +456,9 @@ def main() -> None:
         return
     if "--ori-ab" in sys.argv:
         bench_ori_ab()
+        return
+    if "--band" in sys.argv:
+        bench_band()
         return
     _enable_compile_cache()
     import jax
