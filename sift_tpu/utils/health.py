@@ -75,6 +75,54 @@ def mesh_health_check(mesh, timeout_s: float = 30.0) -> bool:
     return bool(result) and result[0]
 
 
+_BACKEND_PROBE_SRC = """
+import time
+t0 = time.time()
+import jax, jax.numpy as jnp, numpy as np
+__PIN__
+d = jax.devices()
+x = jnp.ones((256, 256), jnp.bfloat16)
+v = float(np.asarray(jax.jit(lambda a: a @ a)(x))[0, 0])
+assert v == 256.0, v
+print(f"{jax.default_backend()} {len(d)} {time.time()-t0:.1f}")
+"""
+
+
+def backend_health(timeout_s: float = 180.0,
+                   platform: str | None = None) -> dict:
+    """Bounded backend-init + tiny-matmul probe in a subprocess.
+
+    ``jax.devices()`` blocks uninterruptibly when the remote TPU
+    tunnel is wedged (it hung for a full round once), so the probe
+    must live in a killable child. Returns a dict with ``ok`` plus
+    either (backend, devices, init_s) or (error, detail). Safe to call
+    before any in-process jax backend touch; does not initialize this
+    process's backend. ``platform`` pins the child's backend (config
+    update, which outranks the env var this container's sitecustomize
+    overrides); None probes the default (TPU here).
+    """
+    import subprocess
+    import sys
+    pin = (f"jax.config.update('jax_platforms', {platform!r})"
+           if platform else "")
+    src = _BACKEND_PROBE_SRC.replace("__PIN__", pin)
+    try:
+        r = subprocess.run([sys.executable, "-c", src],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "error": "backend_init_timeout",
+                "detail": f"no backend within {timeout_s:.0f}s "
+                          "(wedged tunnel / dead terminal)"}
+    if r.returncode != 0:
+        tail = (r.stderr.strip().splitlines() or ["unknown"])[-1]
+        return {"ok": False, "error": "backend_init_failed",
+                "detail": tail[:500]}
+    backend, ndev, init_s = r.stdout.split()
+    return {"ok": True, "backend": backend, "devices": int(ndev),
+            "init_s": float(init_s)}
+
+
 def bundle_adjust_restartable(prob: BAProblem, iters: int = 20,
                               cg_iters: int = 30,
                               huber_delta: float = 3e-3,
@@ -95,3 +143,13 @@ def bundle_adjust_restartable(prob: BAProblem, iters: int = 20,
             return out, attempt
         lam0 *= 100.0
     return prob, max_restarts + 1   # give up: return last good state
+
+
+if __name__ == "__main__":
+    import json
+    import sys
+    timeout = float(sys.argv[1]) if len(sys.argv) > 1 else 180.0
+    platform = sys.argv[2] if len(sys.argv) > 2 else None
+    rep = backend_health(timeout, platform)
+    print(json.dumps(rep))
+    sys.exit(0 if rep["ok"] else 1)
