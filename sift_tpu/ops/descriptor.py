@@ -54,7 +54,13 @@ def descriptors_octave(gauss: jnp.ndarray, kp: Keypoints,
     s_img, h, w = gauss.shape
     row_lo, row_hi = (0, h) if row_bounds is None else row_bounds
     pad = rd + 1
-    padded = jnp.pad(gauss, ((0, 0), (pad, pad), (pad, pad)))
+    # keypoints always sit on layers 1..nl (refine clamps,
+    # sift.cpp:332); don't materialize padded copies of the base/top
+    # layers that are never gathered (invalid slots may carry layer 0
+    # — dynamic_slice clamps and the valid mask zeroes their rows)
+    nl_g = cfg.n_octave_layers
+    padded = jnp.pad(gauss[1:1 + nl_g],
+                     ((0, 0), (pad, pad), (pad, pad)))
     diag = int(math.sqrt(float(w) * w + float(h) * h))  # src/sift.cpp:590
 
     off = np.arange(-rd, rd + 1, dtype=np.float32)
@@ -77,7 +83,7 @@ def descriptors_octave(gauss: jnp.ndarray, kp: Keypoints,
         sin_t = jnp.sin(ori * (math.pi / 180.0)) / hist_width
 
         patch = jax.lax.dynamic_slice(
-            padded, (layer0, r0, c0), (1, 2 * rd + 3, 2 * rd + 3))[0]
+            padded, (layer0 - 1, r0, c0), (1, 2 * rd + 3, 2 * rd + 3))[0]
         dx = patch[1:-1, 2:] - patch[1:-1, :-2]
         dy = patch[:-2, 1:-1] - patch[2:, 1:-1]
 

@@ -80,10 +80,14 @@ def orientation_peaks(gauss: jnp.ndarray,
     n = cfg.ori_hist_bins
     k_peaks = cfg.max_ori_peaks
     rp = cfg.ori_patch_radius
+    nl = cfg.n_octave_layers
     h, w = gauss.shape[1], gauss.shape[2]
     row_lo, row_hi = (0, h) if row_bounds is None else row_bounds
     pad = rp + 1
-    padded = jnp.pad(gauss, ((0, 0), (pad, pad), (pad, pad)))
+    # refined keypoints always sit on layers 1..nl (refine clamps,
+    # sift.cpp:332) — padding the base/top layers would double the
+    # materialized gather source for nothing
+    padded = jnp.pad(gauss[1:1 + nl], ((0, 0), (pad, pad), (pad, pad)))
 
     # static offset grids for the max patch
     off = np.arange(-rp, rp + 1, dtype=np.int32)
@@ -94,7 +98,7 @@ def orientation_peaks(gauss: jnp.ndarray,
     def one(layer0, r0, c0, scl0, valid0):
         # patch center lands at local index (rp+1, rp+1) == image (r0, c0)
         patch = jax.lax.dynamic_slice(
-            padded, (layer0, r0, c0), (1, 2 * rp + 3, 2 * rp + 3))[0]
+            padded, (layer0 - 1, r0, c0), (1, 2 * rp + 3, 2 * rp + 3))[0]
         dx = patch[1:-1, 2:] - patch[1:-1, :-2]
         dy = patch[:-2, 1:-1] - patch[2:, 1:-1]
 

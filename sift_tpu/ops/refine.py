@@ -68,26 +68,36 @@ def _solve3x3(h00, h01, h02, h11, h12, h22, b0, b1, b2):
     return x0, x1, x2
 
 
-def derivative_fields(dog: jnp.ndarray):
-    """Dense Newton-step inputs over the octave: a 10-tuple of flat
-    (D*H*W,) arrays [d0 d1 d2 dxx dxy dxs dyy dys dss center], scaled
-    per src/sift.cpp:291-295. Values at array borders use zero padding
-    but are never read: candidates stay >= img_border from every edge.
+def derivative_fields(dog: jnp.ndarray, n_layers: int | None = None):
+    """Dense Newton-step inputs over the octave's SCANNED layers: a
+    10-tuple of flat (L*H*W,) arrays [d0 d1 d2 dxx dxy dxs dyy dys dss
+    center] covering DoG layers 1..L (L = n_layers, default D-2),
+    scaled per src/sift.cpp:291-295. Newton keeps lay in [1, L]
+    (sift.cpp:332), so fields on layers 0 and L+1 would never be
+    gathered — computing them doubled the dense-field HBM traffic for
+    nothing (the D=4 stack needs only 2 field layers). The stencil
+    still READS layers 0 and L+1 of the DoG for the layer-axis
+    derivatives. Values at array borders use zero padding but are
+    never read: candidates stay >= img_border from every edge.
 
     Layout is deliberately a TUPLE of flat arrays: stacking on a
     trailing (..., 10) axis lane-pads 10 -> 128 (a measured 13x HBM
     traffic blowup), while a (10, DHW) stack forces per-candidate
     gathers along the LANE axis (measured +3 ms per octave at 1080p).
     Ten 1-D row gathers cost ~0.2 ms total instead.
+
+    Gather index for (lay, r, c): ((lay - 1) * H + r) * W + c.
     """
     d, h, w = dog.shape
+    nl = d - 2 if n_layers is None else n_layers
     p = jnp.pad(dog, 1)
 
     def val(dl, dr, dc):
-        return jax.lax.dynamic_slice(p, (1 + dl, 1 + dr, 1 + dc),
-                                     (d, h, w))
+        # layer window [1+dl, 1+dl+nl) of the original dog stack
+        return jax.lax.dynamic_slice(p, (2 + dl, 1 + dr, 1 + dc),
+                                     (nl, h, w))
 
-    v2 = dog * 2.0
+    v2 = dog[1:1 + nl] * 2.0
     d0 = (val(0, 0, 1) - val(0, 0, -1)) * _DERIV_SCALE
     d1 = (val(0, 1, 0) - val(0, -1, 0)) * _DERIV_SCALE
     d2 = (val(1, 0, 0) - val(-1, 0, 0)) * _DERIV_SCALE
@@ -100,9 +110,9 @@ def derivative_fields(dog: jnp.ndarray):
            + val(-1, 0, -1)) * _CROSS_DERIV_SCALE
     dys = (val(1, 1, 0) - val(1, -1, 0) - val(-1, 1, 0)
            + val(-1, -1, 0)) * _CROSS_DERIV_SCALE
-    return tuple(x.reshape(d * h * w)
+    return tuple(x.reshape(nl * h * w)
                  for x in (d0, d1, d2, dxx, dxy, dxs, dyy, dys, dss,
-                           dog))
+                           dog[1:1 + nl]))
 
 
 def refine_candidates(dog: jnp.ndarray,
@@ -120,11 +130,12 @@ def refine_candidates(dog: jnp.ndarray,
     row_lo, row_hi = (0, h) if row_bounds is None else row_bounds
     nl = cfg.n_octave_layers
     border = cfg.img_border
-    fields = derivative_fields(dog)
+    fields = derivative_fields(dog, nl)
 
     def fetch(lay, rr, cc):
-        """(N,) coords -> 10-tuple of per-candidate (N,) gathers."""
-        idx = (lay * h + rr) * w + cc
+        """(N,) coords -> 10-tuple of per-candidate (N,) gathers.
+        lay is always in [1, nl]; fields cover exactly those layers."""
+        idx = ((lay - 1) * h + rr) * w + cc
         return tuple(f[idx] for f in fields)
 
     lay, rr, cc = layer, r, c
