@@ -307,7 +307,7 @@ def bench_ori_ab() -> None:
         return 1000.0 * (rk - r1) / (k - 1)
 
     out = {"backend": jax.default_backend(), "detect_ms": {}}
-    for impl in ("onehot", "factored"):
+    for impl in ("onehot", "onehot_t", "factored"):
         cfg = dataclasses.replace(DEFAULT_CONFIG, ori_hist_impl=impl)
 
         def det(acc, cfg=cfg):

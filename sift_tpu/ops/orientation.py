@@ -37,13 +37,22 @@ def _hist_bins(contrib: jnp.ndarray, bins: jnp.ndarray, n: int,
     free (TPU scatters are slow).
 
     "onehot": one (P, n) one-hot and a (1, P) @ (P, n) matmul — under
-        vmap this materializes an (N, P, n) intermediate.
+        vmap this materializes an (N, P, n) intermediate with the n=36
+        bins on the LANE axis (pads 36 -> 128 in vregs).
+    "onehot_t": the transposed (n, P) one-hot and an (n, P) @ (P,)
+        matvec — the P~1700 patch samples ride the lane axis (full
+        lane utilization) and the bins the sublane axis. Same element
+        count as "onehot", ~3.5x fewer vector registers.
     "factored": decompose bin = n2*hi + lo with n2 = ceil(sqrt(n));
         two (P, n2) one-hots and a (n2, P) @ (P, n2) matmul build the
         same histogram with ~n/(2*n2) times less intermediate traffic
         (36 -> 12 floats per sample for n=36). Same math, float sums
         reassociated.
     """
+    if impl == "onehot_t":
+        onehot_t = (jnp.arange(n)[:, None] == bins[None, :]
+                    ).astype(jnp.float32)              # (n, P)
+        return onehot_t @ contrib                      # (n,)
     if impl == "factored":
         n2 = int(np.ceil(np.sqrt(n)))
         hi = bins // n2

@@ -121,5 +121,8 @@ def test_orientation_hist_impls_agree():
                                _jnp.asarray(bins), 36, "onehot"))
     b = _np.asarray(_hist_bins(_jnp.asarray(contrib),
                                _jnp.asarray(bins), 36, "factored"))
+    c = _np.asarray(_hist_bins(_jnp.asarray(contrib),
+                               _jnp.asarray(bins), 36, "onehot_t"))
     _np.testing.assert_allclose(a, want, rtol=1e-5, atol=1e-4)
     _np.testing.assert_allclose(b, want, rtol=1e-5, atol=1e-4)
+    _np.testing.assert_allclose(c, want, rtol=1e-5, atol=1e-4)
