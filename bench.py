@@ -277,10 +277,9 @@ def bench_internals() -> None:
     print(json.dumps(out))
 
 
-def bench_ori_ab() -> None:
-    """On-chip A/B of the orientation histogram formulation (VERDICT
-    r3 item 7): detect at 1080p with ori_hist_impl onehot vs factored.
-    Writes ORI_AB.json; the loser gets deleted."""
+def _config_ab(field: str, values, stage: str, artifact: str) -> None:
+    """Time a pipeline stage at 1080p under each value of one
+    SIFTConfig field; write the timings to `artifact`."""
     _enable_compile_cache()
     import dataclasses
     import jax
@@ -306,18 +305,38 @@ def bench_ori_ab() -> None:
         rk = min(run(k) for _ in range(2))
         return 1000.0 * (rk - r1) / (k - 1)
 
-    out = {"backend": jax.default_backend(), "detect_ms": {}}
-    for impl in ("onehot", "onehot_t", "factored"):
-        cfg = dataclasses.replace(DEFAULT_CONFIG, ori_hist_impl=impl)
+    out = {"backend": jax.default_backend(), "field": field,
+           f"{stage}_ms": {}}
+    for v in values:
+        cfg = dataclasses.replace(DEFAULT_CONFIG, **{field: v})
 
-        def det(acc, cfg=cfg):
-            kp, octs = sift.detect(f0 + acc * 1e-9, cfg)
-            return kp.x[0] * 1e-9 + acc
+        if stage == "detect":
+            def fn(acc, cfg=cfg):
+                kp, octs = sift.detect(f0 + acc * 1e-9, cfg)
+                return kp.x[0] * 1e-9 + acc
+        else:
+            def fn(acc, cfg=cfg):
+                kp, desc = sift.detect_and_compute(f0 + acc * 1e-9, cfg)
+                return jnp.sum(desc[:4]) + acc
 
-        out["detect_ms"][impl] = round(chain(det), 2)
-    with open("ORI_AB.json", "w") as f:
+        out[f"{stage}_ms"][str(v)] = round(chain(fn), 2)
+    with open(artifact, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
+
+
+def bench_ori_ab() -> None:
+    """On-chip A/B of the orientation histogram formulation (VERDICT
+    r3 item 7): detect at 1080p under each impl. Loser gets deleted."""
+    _config_ab("ori_hist_impl", ("onehot", "onehot_t", "factored"),
+               "detect", "ORI_AB.json")
+
+
+def bench_descr_ab() -> None:
+    """On-chip A/B of the descriptor one-hot layout: detect+describe
+    at 1080p under pk (bins on lanes) vs kp (samples on lanes)."""
+    _config_ab("descr_layout", ("pk", "kp"),
+               "detect_describe", "DESCR_AB.json")
 
 
 def bench_band() -> None:
@@ -456,6 +475,9 @@ def main() -> None:
         return
     if "--ori-ab" in sys.argv:
         bench_ori_ab()
+        return
+    if "--descr-ab" in sys.argv:
+        bench_descr_ab()
         return
     if "--band" in sys.argv:
         bench_band()

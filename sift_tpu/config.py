@@ -86,6 +86,11 @@ class SIFTConfig:
     # gate (eval.py) validates match decisions end to end. False =
     # bit-exact f32 mode (used by kernel-parity tests).
     descr_rc_bf16: bool = True
+    # Descriptor one-hot layout: "pk" puts the trilinear bin axes
+    # (6/10/36 wide) on the LANE axis (pads to 128); "kp" transposes
+    # so the ~6900 patch samples ride the lanes at full utilization.
+    # Same math; on-chip A/B (bench.py --descr-ab) decides the default.
+    descr_layout: str = "pk"
 
     @property
     def n_scales(self) -> int:

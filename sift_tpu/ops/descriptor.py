@@ -123,30 +123,54 @@ def descriptors_octave(gauss: jnp.ndarray, kp: Keypoints,
         o0i = jnp.where(o0i >= n, o0i - n, o0i)
 
         rows = jnp.arange(d + 2)
-        # trilinear soft one-hots: (P, d+2), (P, d+2), (P, n+2)
-        rw = ((rows[None, :] == (r0i + 1)[:, None]) * (1.0 - fr)[:, None]
-              + (rows[None, :] == (r0i + 2)[:, None]) * fr[:, None])
-        cw = ((rows[None, :] == (c0i + 1)[:, None]) * (1.0 - fc)[:, None]
-              + (rows[None, :] == (c0i + 2)[:, None]) * fc[:, None])
         obins = jnp.arange(n + 2)
-        ow = ((obins[None, :] == o0i[:, None]) * (1.0 - fo)[:, None]
-              + (obins[None, :] == (o0i + 1)[:, None]) * fo[:, None])
-        ow = ow * mag_f[:, None]
-
-        rc = (rw[:, :, None] * cw[:, None, :]).reshape(-1, (d + 2) * (d + 2))
-        if cfg.descr_rc_bf16:
-            # bf16 one-hot + magnitudes: halves the HBM traffic of the
-            # pipeline's largest intermediate and runs native-bf16 MXU
-            # passes; ~1e-2 L1 deviation, validated by the recall gate
-            hist = jnp.einsum("pk,po->ko", rc.astype(jnp.bfloat16),
-                              ow.astype(jnp.bfloat16),
-                              preferred_element_type=jnp.float32)
+        if cfg.descr_layout == "kp":
+            # transposed layout: the P~6900 samples ride the LANE axis
+            # at full utilization; the 6/10/36-wide bin axes live on
+            # sublanes instead of padding to 128 lanes (~3.5x fewer
+            # vregs for the one-hot products than the "pk" layout)
+            rw = ((rows[:, None] == (r0i + 1)[None, :]) * (1.0 - fr)[None, :]
+                  + (rows[:, None] == (r0i + 2)[None, :]) * fr[None, :])
+            cw = ((rows[:, None] == (c0i + 1)[None, :]) * (1.0 - fc)[None, :]
+                  + (rows[:, None] == (c0i + 2)[None, :]) * fc[None, :])
+            ow = ((obins[:, None] == o0i[None, :]) * (1.0 - fo)[None, :]
+                  + (obins[:, None] == (o0i + 1)[None, :]) * fo[None, :])
+            ow = ow * mag_f[None, :]
+            rc = (rw[:, None, :] * cw[None, :, :]
+                  ).reshape((d + 2) * (d + 2), -1)
+            if cfg.descr_rc_bf16:
+                hist = jnp.einsum("kp,op->ko", rc.astype(jnp.bfloat16),
+                                  ow.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+            else:
+                hist = jnp.einsum("kp,op->ko", rc, ow,
+                                  precision=jax.lax.Precision.HIGH)
         else:
-            # HIGH (bf16x3 passes): 2.2x faster than HIGHEST on the MXU
-            # with max descriptor deviation 0.002 L1 (measured;
-            # distances are O(1-10), matching decisions unaffected)
-            hist = jnp.einsum("pk,po->ko", rc, ow,
-                              precision=jax.lax.Precision.HIGH)
+            # trilinear soft one-hots: (P, d+2), (P, d+2), (P, n+2)
+            rw = ((rows[None, :] == (r0i + 1)[:, None]) * (1.0 - fr)[:, None]
+                  + (rows[None, :] == (r0i + 2)[:, None]) * fr[:, None])
+            cw = ((rows[None, :] == (c0i + 1)[:, None]) * (1.0 - fc)[:, None]
+                  + (rows[None, :] == (c0i + 2)[:, None]) * fc[:, None])
+            ow = ((obins[None, :] == o0i[:, None]) * (1.0 - fo)[:, None]
+                  + (obins[None, :] == (o0i + 1)[:, None]) * fo[:, None])
+            ow = ow * mag_f[:, None]
+
+            rc = (rw[:, :, None] * cw[:, None, :]
+                  ).reshape(-1, (d + 2) * (d + 2))
+            if cfg.descr_rc_bf16:
+                # bf16 one-hot + magnitudes: halves the HBM traffic of
+                # the pipeline's largest intermediate and runs
+                # native-bf16 MXU passes; ~1e-2 L1 deviation, validated
+                # by the recall gate
+                hist = jnp.einsum("pk,po->ko", rc.astype(jnp.bfloat16),
+                                  ow.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+            else:
+                # HIGH (bf16x3 passes): 2.2x faster than HIGHEST on the
+                # MXU with max descriptor deviation 0.002 L1 (measured;
+                # distances are O(1-10), matching unaffected)
+                hist = jnp.einsum("pk,po->ko", rc, ow,
+                                  precision=jax.lax.Precision.HIGH)
         hist = hist.reshape(d + 2, d + 2, n + 2)
         # circular orientation fold (src/sift.cpp:676-684)
         hist = hist.at[:, :, 0].add(hist[:, :, n])

@@ -126,3 +126,21 @@ def test_orientation_hist_impls_agree():
     _np.testing.assert_allclose(a, want, rtol=1e-5, atol=1e-4)
     _np.testing.assert_allclose(b, want, rtol=1e-5, atol=1e-4)
     _np.testing.assert_allclose(c, want, rtol=1e-5, atol=1e-4)
+
+
+def test_descriptor_layout_transposed_agrees():
+    """The transposed (samples-on-lanes) descriptor one-hot layout
+    must match the default layout bit-for-bit in f32 mode (same
+    contraction, different vreg layout — an on-chip A/B candidate)."""
+    import dataclasses
+    rng = np.random.default_rng(5)
+    img = (rng.random((96, 128)) * 255).astype(np.float32)
+    base = dataclasses.replace(CFG, descr_rc_bf16=False)
+    kp1, d1 = jsift.detect_and_compute(img, base)
+    kp2, d2 = jsift.detect_and_compute(
+        img, dataclasses.replace(base, descr_layout="kp"))
+    v1 = np.asarray(kp1.valid)
+    v2 = np.asarray(kp2.valid)
+    assert v1.sum() == v2.sum() and v1.sum() > 0
+    np.testing.assert_allclose(np.asarray(d1)[v1], np.asarray(d2)[v2],
+                               rtol=0, atol=1e-6)
