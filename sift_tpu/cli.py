@@ -76,6 +76,10 @@ def main(argv=None) -> int:
     ap.add_argument("--no-resize", action="store_true",
                     help="skip the 960x960 scene resize (src/main.cpp:83)")
     ap.add_argument("--timing", action="store_true")
+    ap.add_argument("--diagnose-caps", action="store_true",
+                    help="also count dense NMS survivors against "
+                         "detect_caps (rebuilds the pyramid once per "
+                         "image — diagnostic, not free)")
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "xla", "pallas"],
                     help="matcher implementation")
@@ -113,7 +117,10 @@ def main(argv=None) -> int:
                 o, name, o, cfg.out_caps[o])
         # candidate-level truncation happens before refinement and is
         # invisible in the output batch (the rotate1080 lesson) —
-        # count the dense NMS mask directly
+        # count the dense NMS mask directly. Opt-in: this rebuilds the
+        # pyramid (the pipeline's dominant cost) once per image
+        if not args.diagnose_caps:
+            continue
         csat = np.asarray(_sift.candidate_saturation(
             _pyr.build_gaussian_pyramid(img, cfg), cfg))
         for o in np.where(csat)[0]:

@@ -92,6 +92,20 @@ class SIFTConfig:
     # Same math; on-chip A/B (bench.py --descr-ab) decides the default.
     descr_layout: str = "pk"
 
+    def __post_init__(self):
+        # variant literals are matched by string in the ops; a typo
+        # would silently fall back to the default implementation and
+        # corrupt A/B artifacts (ORI_AB/DESCR_AB timing the same arm
+        # twice) — fail loudly instead
+        if self.ori_hist_impl not in ("onehot", "onehot_t", "factored"):
+            raise ValueError(
+                f"ori_hist_impl={self.ori_hist_impl!r}: expected "
+                "'onehot', 'onehot_t' or 'factored'")
+        if self.descr_layout not in ("pk", "kp"):
+            raise ValueError(
+                f"descr_layout={self.descr_layout!r}: expected "
+                "'pk' or 'kp'")
+
     @property
     def n_scales(self) -> int:
         # nScales = nOctaveLayers + 3 (sift.cpp:5)

@@ -63,6 +63,8 @@ def _hist_bins(contrib: jnp.ndarray, bins: jnp.ndarray, n: int,
                  ).astype(jnp.float32)
         h2 = (oh_hi * contrib[:, None]).T @ oh_lo        # (n2, n2)
         return h2.reshape(n2 * n2)[:n]
+    if impl != "onehot":
+        raise ValueError(f"unknown hist impl {impl!r}")
     onehot = (bins[:, None] == jnp.arange(n)[None, :]
               ).astype(jnp.float32)
     return (contrib[None, :] @ onehot)[0]

@@ -118,7 +118,9 @@ def backend_health(timeout_s: float = 180.0,
         tail = (r.stderr.strip().splitlines() or ["unknown"])[-1]
         return {"ok": False, "error": "backend_init_failed",
                 "detail": tail[:500]}
-    backend, ndev, init_s = r.stdout.split()
+    # parse the LAST stdout line: runtimes may emit banners/warnings
+    # on stdout before the probe's own result line
+    backend, ndev, init_s = r.stdout.strip().splitlines()[-1].split()[-3:]
     return {"ok": True, "backend": backend, "devices": int(ndev),
             "init_s": float(init_s)}
 

@@ -86,10 +86,12 @@ def main() -> int:
         failures.append("hw_tests")
         print(p.stdout[-2000:], file=sys.stderr)
 
-    # 2-3. stage/internals/batched benches (each writes its own artifact)
+    # 2-3. stage/internals/batched benches (each writes its own
+    # artifact). --no-preflight: step 0 already proved the backend;
+    # each child re-probing would burn 30-180s of a recovery window
     for extra in (["--stages"], ["--internals"],
                   ["--batch", str(args.batch)]):
-        p, dt = run([sys.executable, "bench.py"] + extra)
+        p, dt = run([sys.executable, "bench.py", "--no-preflight"] + extra)
         print(f"bench {extra}: rc={p.returncode} {dt:.0f}s")
         if p.returncode != 0:
             failures.append(f"bench{extra[0]}")
@@ -108,7 +110,7 @@ def main() -> int:
 
     # 5. headline
     if not args.skip_headline:
-        p, dt = run([sys.executable, "bench.py"])
+        p, dt = run([sys.executable, "bench.py", "--no-preflight"])
         print(f"headline: rc={p.returncode} {dt:.0f}s")
         if p.returncode == 0:
             print((p.stdout or "").strip().splitlines()[-1])

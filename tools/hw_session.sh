@@ -30,12 +30,13 @@ run preflight 200 python -m sift_tpu.utils.health 180 || {
   exit 2
 }
 
-run headline   1800 python bench.py
-run stages     1800 python bench.py --stages
-run internals  2400 python bench.py --internals
-run ori_ab     2400 python bench.py --ori-ab
-run descr_ab   2400 python bench.py --descr-ab
-run band       1800 python bench.py --band
+# --no-preflight: the health probe above already proved the backend
+run headline   1800 python bench.py --no-preflight
+run stages     1800 python bench.py --no-preflight --stages
+run internals  2400 python bench.py --no-preflight --internals
+run ori_ab     2400 python bench.py --no-preflight --ori-ab
+run descr_ab   2400 python bench.py --no-preflight --descr-ab
+run band       1800 python bench.py --no-preflight --band
 # hw_artifacts re-runs stages/internals (cached compiles) and adds
 # HW_TESTS.json, BENCH_BATCH.json, the TPU eval gate, and a final
 # headline — the complete per-round artifact set
