@@ -80,3 +80,21 @@ def scene_gray_small():
     img = cv2.imread("/root/reference/data/scene.jpg",
                      cv2.IMREAD_GRAYSCALE).astype(np.float32)
     return cv2.resize(img, (320, 256))
+
+
+@pytest.mark.slow
+def test_tiled_two_octaves_matches_single_device(scene_gray_small):
+    """tiled_octaves=2 exercises the tiled->tiled decimation handoff
+    (band halving + next-octave halo exchange) that tiled_octaves=1
+    never runs; must still be exact."""
+    img = jnp.asarray(scene_gray_small)
+    mesh = default_mesh(2)
+    kp_t, d_t = detect_and_compute_tiled(img, mesh, CFG,
+                                         tiled_octaves=2, halo=48)
+    kp_s, d_s = sift.detect_and_compute(img, CFG)
+    xt, dt = _valid_set(kp_t, d_t)
+    xs, ds = _valid_set(kp_s, d_s)
+    assert len(xs) > 30, "degenerate fixture"
+    assert len(xt) == len(xs), (len(xt), len(xs))
+    np.testing.assert_allclose(xt, xs, rtol=0, atol=1e-3)
+    np.testing.assert_allclose(dt, ds, rtol=0, atol=1e-3)
