@@ -73,8 +73,9 @@ class SIFTConfig:
     # (P, 36) one-hot per keypoint; "factored" two (P, 6) one-hots
     # (~3x less intermediate traffic, same math reassociated). Parity
     # tested in tests/test_ori_cap.py; default decided by on-chip A/B
-    # (bench.py --internals).
-    ori_hist_impl: str = "onehot"
+    # 2026-08-18 (ORI_AB.json): factored 13.68 ms detect vs onehot
+    # 14.88 / onehot_t 13.80 at 1080p.
+    ori_hist_impl: str = "factored"
     # Final global keypoint budget after cross-octave compaction.
     max_keypoints: int = 4096
     # Matcher ratio-test threshold (reference src/main.cpp:38).
@@ -89,8 +90,9 @@ class SIFTConfig:
     # Descriptor one-hot layout: "pk" puts the trilinear bin axes
     # (6/10/36 wide) on the LANE axis (pads to 128); "kp" transposes
     # so the ~6900 patch samples ride the lanes at full utilization.
-    # Same math; on-chip A/B (bench.py --descr-ab) decides the default.
-    descr_layout: str = "pk"
+    # Same math; on-chip A/B 2026-08-18 (DESCR_AB.json) decided the
+    # default: kp 17.86 ms detect+describe vs pk 18.10 at 1080p.
+    descr_layout: str = "kp"
 
     def __post_init__(self):
         # variant literals are matched by string in the ops; a typo
