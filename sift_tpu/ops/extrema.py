@@ -133,6 +133,158 @@ def _top_k_two_stage_batch(score: jnp.ndarray, cap: int,
     return out_v, out_i
 
 
+_G = 16          # windowed-reduction width (see _top_k_windowed)
+_KEY_POS_MASK = _G - 1
+
+
+def _pack_keys(score3: jnp.ndarray) -> jnp.ndarray:
+    """Order-preserving int32 sort keys for positive f32 scores.
+
+    Positive IEEE-754 floats compare identically to their bit
+    patterns, so (bits & ~15) | (column % 16) ranks by score with the
+    low 4 mantissa bits sacrificed to carry the in-window position —
+    ties at 19-mantissa-bit resolution break by column, which only
+    permutes which near-identical candidate survives cap truncation
+    (the reference keeps all extrema, src/sift.cpp:511; order is our
+    truncation policy, and refinement re-ranks by contrast anyway).
+    Non-candidates map to -1 < every candidate key (|DoG| > 8 means
+    exponent >= 130, so candidate keys are large positive ints).
+    """
+    bits = jax.lax.bitcast_convert_type(score3, jnp.int32)
+    pos = jax.lax.broadcasted_iota(
+        jnp.int32, score3.shape, score3.ndim - 1) & _KEY_POS_MASK
+    return jnp.where(score3 > 0.0, (bits & ~_KEY_POS_MASK) | pos,
+                     jnp.int32(-1))
+
+
+def _window_census(score3: jnp.ndarray, kb: int, blk: int):
+    """(per-16-column candidate counts, exactness predicate).
+
+    The windowed fast path is exact iff (a) no 16-column window holds
+    > 2 candidates (the two max passes capture at most 2) and (b) no
+    4096-key stage-2 block holds > kb candidates (its per-block top_k
+    keeps kb). Both are counted EXACTLY here, so the lax.cond fallback
+    to the dense two-stage sort makes the whole selection exact.
+    """
+    ones = (score3 > 0.0).astype(jnp.int32)
+    nd = score3.ndim
+    win = (1,) * (nd - 1) + (_G,)
+    counts = jax.lax.reduce_window(ones, 0, jax.lax.add, win, win,
+                                   "VALID")
+    wpb = blk // 2                       # windows per 4096-key block
+    cf = counts.reshape(counts.shape[:-3] + (-1,))
+    pad = (-cf.shape[-1]) % wpb
+    cf = jnp.pad(cf, [(0, 0)] * (cf.ndim - 1) + [(0, pad)])
+    blk_counts = cf.reshape(cf.shape[:-1] + (-1, wpb)).sum(-1)
+    sat = jnp.any(counts > 2) | jnp.any(blk_counts > kb)
+    return counts, sat
+
+
+def _windowed_reduce(score3: jnp.ndarray) -> jnp.ndarray:
+    """Two windowed max passes over 16-column windows -> interleaved
+    (..., n_windows*2) int32 keys holding every candidate of every
+    window with <= 2 candidates (one VPU pass each; replaces the
+    stage-1 block SORT of the two-stage top-k, which at 1080p cost
+    3.2 ms of pure sort bandwidth for the same selection)."""
+    keys = _pack_keys(score3)
+    nd = keys.ndim
+    win = (1,) * (nd - 1) + (_G,)
+    imin = jnp.iinfo(jnp.int32).min
+    w1 = jax.lax.reduce_window(keys, imin, jax.lax.max, win, win,
+                               "VALID")
+    # keys are unique within a window (position bits), so == excises
+    # exactly the first winner
+    masked = jnp.where(keys == jnp.repeat(w1, _G, axis=-1), imin, keys)
+    w2 = jax.lax.reduce_window(masked, imin, jax.lax.max, win, win,
+                               "VALID")
+    return jnp.stack([w1, w2], axis=-1).reshape(keys.shape[:-2] + (-1,))
+
+
+def _unpack_keys(keyvals: jnp.ndarray, positions: jnp.ndarray):
+    """(top-k key values, their positions in the interleaved reduced
+    array) -> (score values (truncated mantissa), flat pixel indices)."""
+    win = positions // 2
+    col = keyvals & _KEY_POS_MASK
+    flat = win * _G + col
+    vals = jax.lax.bitcast_convert_type(keyvals & ~_KEY_POS_MASK,
+                                        jnp.float32)
+    return jnp.where(keyvals > 0, vals, -1.0), flat.astype(jnp.int32)
+
+
+def _top_k_windowed(score3: jnp.ndarray, cap: int, blk: int = 4096,
+                    kb: int = 128):
+    """Exact top-cap candidate extraction from a dense (nl, H, W)
+    score field, cheap on TPU: candidates are ~1e-4 dense, so two
+    16-column windowed max passes (bandwidth-bound VPU) shrink the
+    sort problem 8x before any top_k runs. An exact census arms a
+    lax.cond fallback to the dense two-stage sort for inputs too
+    clustered for the window capacity (never observed on real frames;
+    plateaus from the reference's >=/<= extremum rule can do it).
+
+    W must be a multiple of 16 (callers pad with -1 scores).
+    Returns (vals, flat_idx) in (nl*H*W) row-major coordinates.
+    """
+    kb = min(kb, cap)
+    n = score3.size
+    counts, sat = _window_census(score3, kb, blk)
+
+    def exact(s3):
+        return _top_k_two_stage(s3.reshape(-1), cap, blk, kb)
+
+    def fast(s3):
+        red = _windowed_reduce(s3).reshape(-1)       # (2 * n/16,)
+        pad = (-red.shape[0]) % blk
+        red = jnp.pad(red, (0, pad), constant_values=-1)
+        rows = red.reshape(-1, blk)
+        v1, i1 = jax.lax.top_k(rows, kb)
+        base = jnp.arange(rows.shape[0], dtype=jnp.int32)[:, None] * blk
+        flat1 = (i1 + base).reshape(-1)
+        k2 = min(cap, flat1.shape[0])
+        v2, j2 = jax.lax.top_k(v1.reshape(-1), k2)
+        vals, idx = _unpack_keys(v2, flat1[j2])
+        if k2 < cap:
+            vals = jnp.pad(vals, (0, cap - k2), constant_values=-1.0)
+            idx = jnp.pad(idx, (0, cap - k2))
+        return vals, jnp.minimum(idx, n - 1)
+
+    return jax.lax.cond(sat, exact, fast, score3)
+
+
+def _top_k_windowed_batch(score4: jnp.ndarray, cap: int,
+                          blk: int = 4096, kb: int = 128):
+    """Batched (B, nl, H, W) variant of _top_k_windowed. Like
+    _top_k_two_stage_batch, the exactness cond stays at batch level
+    (under vmap it would lower to select and always pay the dense
+    sort)."""
+    kb = min(kb, cap)
+    nb = score4.shape[0]
+    n = score4[0].size
+    counts, sat = _window_census(score4, kb, blk)
+
+    def exact(s4):
+        return _top_k_two_stage_batch(s4.reshape(nb, -1), cap, blk, kb)
+
+    def fast(s4):
+        red = _windowed_reduce(s4).reshape(nb, -1)
+        pad = (-red.shape[1]) % blk
+        red = jnp.pad(red, ((0, 0), (0, pad)), constant_values=-1)
+        rows = red.reshape(nb, -1, blk)
+        v1, i1 = jax.lax.top_k(rows, kb)
+        base = jnp.arange(rows.shape[1], dtype=jnp.int32)[None, :, None] * blk
+        flat1 = (i1 + base).reshape(nb, -1)
+        k2 = min(cap, flat1.shape[1])
+        v2, j2 = jax.lax.top_k(v1.reshape(nb, -1), k2)
+        vals, idx = _unpack_keys(v2, jnp.take_along_axis(flat1, j2,
+                                                         axis=1))
+        if k2 < cap:
+            vals = jnp.pad(vals, ((0, 0), (0, cap - k2)),
+                           constant_values=-1.0)
+            idx = jnp.pad(idx, ((0, 0), (0, cap - k2)))
+        return vals, jnp.minimum(idx, n - 1)
+
+    return jax.lax.cond(sat, exact, fast, score4)
+
+
 def top_candidates_batch(dog: jnp.ndarray, cap: int,
                          cfg: SIFTConfig = DEFAULT_CONFIG
                          ) -> Tuple[jnp.ndarray, jnp.ndarray,
@@ -143,21 +295,29 @@ def top_candidates_batch(dog: jnp.ndarray, cap: int,
     nb, _, h, w = dog.shape
     if jax.default_backend() == "tpu":
         from sift_tpu.ops.extrema_pallas import extrema_scores_batch_pallas
-        score = extrema_scores_batch_pallas(dog, cfg).reshape(nb, -1)
+        score3 = extrema_scores_batch_pallas(dog, cfg)
     else:
         mask = jax.vmap(lambda d: extrema_mask(d, cfg))(dog)
-        score = jnp.where(mask, jnp.abs(dog[:, 1:1 + nl]),
-                          -1.0).reshape(nb, -1)
-    k = min(cap, score.shape[1])
-    vals, idx = _top_k_two_stage_batch(score, k)
+        score3 = jnp.where(mask, jnp.abs(dog[:, 1:1 + nl]), -1.0)
+    n = score3[0].size
+    k = min(cap, n)
+    if n <= 8192 or n <= cap:
+        vals, idx = _top_k_two_stage_batch(score3.reshape(nb, -1), k)
+        wp = w
+    else:
+        padw = (-w) % _G
+        score3 = jnp.pad(score3, ((0, 0), (0, 0), (0, 0), (0, padw)),
+                         constant_values=-1.0)
+        wp = w + padw
+        vals, idx = _top_k_windowed_batch(score3, k)
     if k < cap:
         vals = jnp.pad(vals, ((0, 0), (0, cap - k)),
                        constant_values=-1.0)
         idx = jnp.pad(idx, ((0, 0), (0, cap - k)))
-    layer = idx // (h * w) + 1
-    rem = idx % (h * w)
-    return (layer.astype(jnp.int32), (rem // w).astype(jnp.int32),
-            (rem % w).astype(jnp.int32), vals > 0.0)
+    layer = idx // (h * wp) + 1
+    rem = idx % (h * wp)
+    return (layer.astype(jnp.int32), (rem // wp).astype(jnp.int32),
+            jnp.minimum(rem % wp, w - 1).astype(jnp.int32), vals > 0.0)
 
 
 def top_candidates(dog: jnp.ndarray, cap: int,
@@ -173,19 +333,28 @@ def top_candidates(dog: jnp.ndarray, cap: int,
     h, w = dog.shape[1], dog.shape[2]
     if jax.default_backend() == "tpu":
         from sift_tpu.ops.extrema_pallas import extrema_scores_pallas
-        score = extrema_scores_pallas(dog, cfg).reshape(-1)
+        score3 = extrema_scores_pallas(dog, cfg)
     else:
         mask = extrema_mask(dog, cfg)
-        score = jnp.where(mask, jnp.abs(dog[1:1 + nl]), -1.0).reshape(-1)
-    k = min(cap, score.shape[0])
-    vals, idx = _top_k_two_stage(score, k)
-    if k < cap:  # tiny octave: pad back up to the static cap
+        score3 = jnp.where(mask, jnp.abs(dog[1:1 + nl]), -1.0)
+    n = score3.size
+    k = min(cap, n)
+    if n <= 8192 or n <= cap:   # tiny octave: plain exact top_k
+        vals, idx = _top_k_two_stage(score3.reshape(-1), k)
+        wp = w
+    else:
+        padw = (-w) % _G
+        score3 = jnp.pad(score3, ((0, 0), (0, 0), (0, padw)),
+                         constant_values=-1.0)
+        wp = w + padw
+        vals, idx = _top_k_windowed(score3, k)
+    if k < cap:  # pad back up to the static cap
         vals = jnp.pad(vals, (0, cap - k), constant_values=-1.0)
         idx = jnp.pad(idx, (0, cap - k))
-    layer = idx // (h * w) + 1
-    rem = idx % (h * w)
-    r = rem // w
-    c = rem % w
+    layer = idx // (h * wp) + 1
+    rem = idx % (h * wp)
+    r = rem // wp
+    c = jnp.minimum(rem % wp, w - 1)
     valid = vals > 0.0
     return (layer.astype(jnp.int32), r.astype(jnp.int32),
             c.astype(jnp.int32), valid)
