@@ -324,11 +324,26 @@ def bench_ori_ab() -> None:
                "detect", "ORI_AB.json")
 
 
+def bench_ori_gather_ab() -> None:
+    """On-chip A/B of the orientation patch gather: vmapped
+    dynamic_slice (serialized per-keypoint gathers) vs the Pallas
+    batched-DMA kernel (ops/ori_gather_pallas.py). Detect at 1080p."""
+    _config_ab("ori_gather_impl", ("dynamic_slice", "pallas"),
+               "detect", "ORI_GATHER_AB.json")
+
+
 def bench_descr_ab() -> None:
     """On-chip A/B of the descriptor one-hot layout: detect+describe
     at 1080p under pk (bins on lanes) vs kp (samples on lanes)."""
     _config_ab("descr_layout", ("pk", "kp"),
                "detect_describe", "DESCR_AB.json")
+
+
+def bench_descr_gather_ab() -> None:
+    """On-chip A/B of the descriptor patch gather (dynamic_slice vs
+    Pallas batched DMA): detect+describe at 1080p."""
+    _config_ab("descr_gather_impl", ("dynamic_slice", "pallas"),
+               "detect_describe", "DESCR_GATHER_AB.json")
 
 
 def bench_band() -> None:
@@ -444,7 +459,8 @@ def bench_batch(batch: int) -> None:
 
 def main() -> None:
     modes = ("--stages", "--batch", "--internals", "--ori-ab",
-             "--descr-ab", "--band")
+             "--ori-gather-ab", "--descr-ab", "--descr-gather-ab",
+             "--band")
     if "--no-preflight" not in sys.argv:
         preflight(headline=not any(m in sys.argv for m in modes))
     if "--stages" in sys.argv:
@@ -459,8 +475,14 @@ def main() -> None:
     if "--ori-ab" in sys.argv:
         bench_ori_ab()
         return
+    if "--ori-gather-ab" in sys.argv:
+        bench_ori_gather_ab()
+        return
     if "--descr-ab" in sys.argv:
         bench_descr_ab()
+        return
+    if "--descr-gather-ab" in sys.argv:
+        bench_descr_gather_ab()
         return
     if "--band" in sys.argv:
         bench_band()

@@ -76,6 +76,13 @@ class SIFTConfig:
     # 2026-08-18 (ORI_AB.json): factored 13.68 ms detect vs onehot
     # 14.88 / onehot_t 13.80 at 1080p.
     ori_hist_impl: str = "factored"
+    # Orientation patch gather: "dynamic_slice" is one vmapped
+    # dynamic_slice per keypoint (lowers to serialized ~us gathers on
+    # TPU — measured as detect's largest sub-stage, BENCH_INTERNALS
+    # ori_patch_gather 10.8 ms at 1080p); "pallas" batches G=8 async
+    # patch DMAs per grid step (ops/ori_gather_pallas.py). Both return
+    # identical values (tests/test_ori_gather.py).
+    ori_gather_impl: str = "dynamic_slice"
     # Final global keypoint budget after cross-octave compaction.
     max_keypoints: int = 4096
     # Matcher ratio-test threshold (reference src/main.cpp:38).
@@ -93,6 +100,11 @@ class SIFTConfig:
     # Same math; on-chip A/B 2026-08-18 (DESCR_AB.json) decided the
     # default: kp 17.86 ms detect+describe vs pk 18.10 at 1080p.
     descr_layout: str = "kp"
+    # Descriptor patch gather: same choice as ori_gather_impl (the
+    # descriptor window is 81x81 vs orientation's 37x37 — both fit
+    # the kernel's one-lane-tile limit). Parity:
+    # tests/test_descr_gather.py.
+    descr_gather_impl: str = "dynamic_slice"
 
     def __post_init__(self):
         # variant literals are matched by string in the ops; a typo
@@ -103,6 +115,14 @@ class SIFTConfig:
             raise ValueError(
                 f"ori_hist_impl={self.ori_hist_impl!r}: expected "
                 "'onehot', 'onehot_t' or 'factored'")
+        if self.ori_gather_impl not in ("dynamic_slice", "pallas"):
+            raise ValueError(
+                f"ori_gather_impl={self.ori_gather_impl!r}: expected "
+                "'dynamic_slice' or 'pallas'")
+        if self.descr_gather_impl not in ("dynamic_slice", "pallas"):
+            raise ValueError(
+                f"descr_gather_impl={self.descr_gather_impl!r}: "
+                "expected 'dynamic_slice' or 'pallas'")
         if self.descr_layout not in ("pk", "kp"):
             raise ValueError(
                 f"descr_layout={self.descr_layout!r}: expected "

@@ -72,7 +72,7 @@ def descriptors_octave(gauss: jnp.ndarray, kp: Keypoints,
     octave = kp.octave[0]  # uniform within an octave batch
     inv_scale = jnp.exp2(-octave.astype(jnp.float32))
 
-    def one(layer0, r0, c0, size0, angle0, valid0):
+    def one(patch, r0, c0, size0, angle0, valid0):
         scl = size0 * inv_scale * 0.5          # src/sift.cpp:745-751
         ori = 360.0 - angle0                   # src/sift.cpp:748-750
         ori = jnp.where(jnp.abs(ori - 360.0) < _FLT_EPS, 0.0, ori)
@@ -82,8 +82,6 @@ def descriptors_octave(gauss: jnp.ndarray, kp: Keypoints,
         cos_t = jnp.cos(ori * (math.pi / 180.0)) / hist_width
         sin_t = jnp.sin(ori * (math.pi / 180.0)) / hist_width
 
-        patch = jax.lax.dynamic_slice(
-            padded, (layer0 - 1, r0, c0), (1, 2 * rd + 3, 2 * rd + 3))[0]
         dx = patch[1:-1, 2:] - patch[1:-1, :-2]
         dy = patch[:-2, 1:-1] - patch[2:, 1:-1]
 
@@ -194,14 +192,36 @@ def descriptors_octave(gauss: jnp.ndarray, kp: Keypoints,
     n_chunks = (cap + ch - 1) // ch
     assert cap % ch == 0, (cap, ch)
 
+    pn = 2 * rd + 3
+    if cfg.descr_gather_impl == "pallas":
+        from sift_tpu.ops.ori_gather_pallas import gather_patches
+        patches = gather_patches(padded, kp.layer - 1, kp.r, kp.c, pn)
+    else:
+        # gather per chunk inside lax.map (bounds the intermediate to
+        # chunk patches, matching the RC-chunking rationale)
+        patches = None
+
     def run_chunk(args):
         return jax.vmap(one)(*args)
 
-    args = (kp.layer.reshape(n_chunks, ch),
-            kp.r.reshape(n_chunks, ch),
-            kp.c.reshape(n_chunks, ch),
-            kp.size.reshape(n_chunks, ch),
-            kp.angle.reshape(n_chunks, ch),
-            kp.valid.reshape(n_chunks, ch))
-    out = jax.lax.map(run_chunk, args)
+    def run_chunk_ds(args):
+        layer_c, r_c, rest = args[0], args[1], args[2:]
+        patch_c = jax.vmap(lambda l0, r0, c0: jax.lax.dynamic_slice(
+            padded, (l0 - 1, r0, c0), (1, pn, pn))[0])(
+                layer_c, r_c, rest[0])
+        return jax.vmap(one)(patch_c, r_c, *rest)
+
+    common = (kp.r.reshape(n_chunks, ch),
+              kp.c.reshape(n_chunks, ch),
+              kp.size.reshape(n_chunks, ch),
+              kp.angle.reshape(n_chunks, ch),
+              kp.valid.reshape(n_chunks, ch))
+    if patches is None:
+        out = jax.lax.map(
+            run_chunk_ds,
+            (kp.layer.reshape(n_chunks, ch),) + common)
+    else:
+        out = jax.lax.map(
+            run_chunk,
+            (patches.reshape(n_chunks, ch, pn, pn),) + common)
     return out.reshape(cap, d * d * n)

@@ -1,16 +1,29 @@
-"""Pallas keypoint patch-gather kernel (orientation C8c hot path).
+"""Pallas keypoint patch-gather kernel (orientation/descriptor C8c/C10
+hot path).
 
 The reference walks a radius window around each keypoint serially
-(calcOrientationHist, src/sift.cpp:389-458). The XLA twin gathers one
-fixed 39x39 patch per keypoint via vmapped dynamic_slice — which
-lowers to one serialized ~3 us gather per keypoint on TPU (measured:
-4.5 ms for the 1536 out_caps keypoints at 1080p, the largest single
-detect sub-stage). This kernel replaces ONLY the gather: G keypoints
-per grid step issue G async patch DMAs from the padded octave stack in
-HBM (arbitrary row offset; column start aligned down to the 128-lane
-tile), then cut the exact patch window with an in-VMEM lane slice.
-Downstream histogram math stays in XLA and is bit-identical to the
-dynamic_slice path (tests/test_ori_gather.py).
+(calcOrientationHist, src/sift.cpp:389-458; calcSIFTDescriptor,
+src/sift.cpp:579-616). The XLA twin gathers one fixed patch per
+keypoint via vmapped dynamic_slice — which lowers to one serialized
+~us gather per keypoint on TPU (measured: the largest single detect
+sub-stage, BENCH_INTERNALS ori_patch_gather 10.8 ms at 1080p). This
+kernel replaces ONLY the gather; downstream histogram math stays in
+XLA and is bit-identical to the dynamic_slice path
+(tests/test_ori_gather.py, tests/test_descr_gather.py, hardware lane
+tests/test_tpu_hardware.py::test_ori_gather_kernel_parity).
+
+Mosaic constraint that shaped the design: f32 memrefs are (8,128)
+tiled in BOTH HBM and VMEM, and a DMA source slice must start on a
+tile boundary ("failed to prove index divisible by tiling" otherwise)
+— an arbitrary (r, c) window cannot be DMA'd directly, and there is
+no dynamic sublane/lane slice on values either. So per keypoint:
+
+  1. DMA the enclosing tile-aligned window (rows_dma x 256 from the
+     8-aligned row / 128-aligned col below the start) HBM -> VMEM,
+     G windows in flight per grid step;
+  2. two pltpu.roll's (tpu.dynamic_rotate — dynamic shifts ARE legal)
+     rotate the intra-tile remainder (dr, dc) to the origin;
+  3. a static slice cuts the patch window.
 
 Patch geometry matches ops/orientation.py: the source stack is padded
 by rp+1 so a slice starting at (r0, c0) centers pixel (r0, c0) at
@@ -30,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _G = 8            # keypoints (patch DMAs in flight) per grid step
 _LANES = 128
-_WIN = 256        # lane window: 128-aligned start + patch width <= 256
+_WIN = 256        # lane window: 128-aligned start + dc + patch <= 256
 
 
 def _interpret() -> bool:
@@ -38,24 +51,32 @@ def _interpret() -> bool:
             or jax.default_backend() != "tpu")
 
 
-def _make_kernel(rows_out: int, cols_out: int, rows_dma: int):
-    def kernel(lay_sp, rs_sp, cb_sp, off_sp, hbm, out_ref, scratch,
-               sems):
+def _make_kernel(rows_dma: int, rows_out: int):
+    def kernel(lay_sp, rt_sp, dr_sp, ct_sp, dc_sp, hbm, out_ref,
+               scratch, sems):
         i0 = pl.program_id(0) * _G
         copies = []
         for g in range(_G):
             k = i0 + g
+            # rt/ct are TILE indices: the *8 / *128 inside the kernel
+            # is what lets Mosaic prove the slice start divisible by
+            # the (8,128) tiling (a pre-multiplied scalar arrives as
+            # an arbitrary i32 and the compile fails)
             dma = pltpu.make_async_copy(
-                hbm.at[lay_sp[k], pl.ds(rs_sp[k], rows_dma),
-                       pl.ds(cb_sp[k], _WIN)],
+                hbm.at[lay_sp[k], pl.ds(rt_sp[k] * 8, rows_dma),
+                       pl.ds(ct_sp[k] * _LANES, _WIN)],
                 scratch.at[g], sems.at[g])
             dma.start()
             copies.append(dma)
         for g in range(_G):
             copies[g].wait()
-            off = off_sp[i0 + g]
-            out_ref[g] = jax.lax.dynamic_slice(
-                scratch[g], (0, off), (rows_out, cols_out))
+            k = i0 + g
+            x = scratch[g]
+            # rotate the remainder offsets to the origin; shifts are
+            # dynamic (tpu.dynamic_rotate), negative = toward 0
+            x = pltpu.roll(x, rows_dma - dr_sp[k], 0)
+            x = pltpu.roll(x, _WIN - dc_sp[k], 1)
+            out_ref[g] = x[:rows_out, :_LANES]
 
     return kernel
 
@@ -71,8 +92,7 @@ def gather_patches(padded: jnp.ndarray, layer: jnp.ndarray,
         (r, c) is fully in range for r in [0, H-1], c in [0, W-1]
         (i.e. Hp >= H - 1 + patch, Wp >= W - 1 + patch).
     layer/r/c: (N,) int32 (layer selects the stack plane directly).
-    Returns float32 (N, rows_out, cols_out) with rows_out = cols_out =
-    patch — identical values to
+    Returns float32 (N, patch, patch) with values identical to
     vmap(lambda l, r0, c0: dynamic_slice(padded, (l, r0, c0),
                                          (1, patch, patch))[0]).
     """
@@ -80,39 +100,42 @@ def gather_patches(padded: jnp.ndarray, layer: jnp.ndarray,
         interpret = _interpret()
     nlay, hp, wp = padded.shape
     n = layer.shape[0]
-    rows_dma = -(-patch // 8) * 8
-    cols_out = -(-patch // _LANES) * _LANES
-    if cols_out != _LANES:
+    rows_out = -(-patch // 8) * 8
+    rows_dma = rows_out + 8       # 8-aligned start + dr in [0,8) + patch
+    if patch > _LANES:
         raise ValueError(f"patch {patch} exceeds one lane tile")
 
-    # DMA source must fit rows r..r+rows_dma and lanes cb..cb+_WIN;
-    # callers guarantee only r <= hp - patch, so pad the difference
-    extra_rows = max(0, rows_dma - patch)
-    max_cb = ((wp - 1) // _LANES) * _LANES
-    extra_cols = max(0, max_cb + _WIN - wp)
-    src = jnp.pad(padded, ((0, 0), (0, extra_rows), (0, extra_cols)))
-    hp2, wp2 = src.shape[1], src.shape[2]
-
+    # clamp starts exactly like dynamic_slice does (against the
+    # CALLER's hp/wp), then split into tile-aligned base + remainder
     lay = jnp.clip(layer, 0, nlay - 1)
-    rs = jnp.clip(r, 0, hp2 - rows_dma)
-    c0 = jnp.clip(c, 0, wp2 - patch)
-    cb = (c0 // _LANES) * _LANES
-    off = c0 - cb
+    rs = jnp.clip(r, 0, hp - patch)
+    cs = jnp.clip(c, 0, wp - patch)
+    rt = rs // 8
+    dr = rs - rt * 8
+    ct = cs // _LANES
+    dc = cs - ct * _LANES
+
+    # pad the source so every aligned DMA window is in range:
+    # rb <= hp - patch  ->  rb + rows_dma <= hp + (rows_dma - patch)
+    # cb <= wp - patch  ->  cb + _WIN     <= wp + (_WIN - patch)
+    src = jnp.pad(padded, ((0, 0), (0, rows_dma - patch),
+                           (0, _WIN - patch)))
 
     npad = (-n) % _G
     if npad:
         zpad = jnp.zeros((npad,), jnp.int32)
         lay = jnp.concatenate([lay, zpad])
-        rs = jnp.concatenate([rs, zpad])
-        cb = jnp.concatenate([cb, zpad])
-        off = jnp.concatenate([off, zpad])
+        rt = jnp.concatenate([rt, zpad])
+        dr = jnp.concatenate([dr, zpad])
+        ct = jnp.concatenate([ct, zpad])
+        dc = jnp.concatenate([dc, zpad])
     ng = (n + npad) // _G
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(ng,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((_G, rows_dma, cols_out),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((_G, rows_out, _LANES),
                                lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -121,16 +144,16 @@ def gather_patches(padded: jnp.ndarray, layer: jnp.ndarray,
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(rows_dma, cols_out, rows_dma),
+        _make_kernel(rows_dma, rows_out),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ng * _G, rows_dma, cols_out),
+        out_shape=jax.ShapeDtypeStruct((ng * _G, rows_out, _LANES),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=0,
-            bytes_accessed=(n + npad) * rows_dma * (_WIN + cols_out) * 4,
+            bytes_accessed=(n + npad) * rows_dma * (_WIN + _LANES) * 4,
             transcendentals=0),
         interpret=interpret,
-    )(lay, rs, cb, off, src)
+    )(lay, rt, dr, ct, dc, src)
     return out[:n, :patch, :patch]

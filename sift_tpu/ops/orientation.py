@@ -100,16 +100,23 @@ def orientation_peaks(gauss: jnp.ndarray,
     # materialized gather source for nothing
     padded = jnp.pad(gauss[1:1 + nl], ((0, 0), (pad, pad), (pad, pad)))
 
+    # gather one fixed max-radius patch per keypoint; the center lands
+    # at local index (rp+1, rp+1) == image (r0, c0)
+    pn = 2 * rp + 3
+    if cfg.ori_gather_impl == "pallas":
+        from sift_tpu.ops.ori_gather_pallas import gather_patches
+        patches = gather_patches(padded, layer - 1, r, c, pn)
+    else:
+        patches = jax.vmap(lambda l0, r0, c0: jax.lax.dynamic_slice(
+            padded, (l0 - 1, r0, c0), (1, pn, pn))[0])(layer, r, c)
+
     # static offset grids for the max patch
     off = np.arange(-rp, rp + 1, dtype=np.int32)
     ii = jnp.asarray(off)[:, None]          # (2rp+1, 1) row offsets
     jj = jnp.asarray(off)[None, :]          # (1, 2rp+1) col offsets
     r2_grid = (ii * ii + jj * jj).astype(jnp.float32)
 
-    def one(layer0, r0, c0, scl0, valid0):
-        # patch center lands at local index (rp+1, rp+1) == image (r0, c0)
-        patch = jax.lax.dynamic_slice(
-            padded, (layer0 - 1, r0, c0), (1, 2 * rp + 3, 2 * rp + 3))[0]
+    def one(patch, r0, c0, scl0, valid0):
         dx = patch[1:-1, 2:] - patch[1:-1, :-2]
         dy = patch[:-2, 1:-1] - patch[2:, 1:-1]
 
@@ -154,4 +161,4 @@ def orientation_peaks(gauss: jnp.ndarray,
         ok = (pv > 0) & valid0
         return angle, ok
 
-    return jax.vmap(one)(layer, r, c, scl_octv, valid)
+    return jax.vmap(one)(patches, r, c, scl_octv, valid)

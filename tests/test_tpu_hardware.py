@@ -161,3 +161,31 @@ def test_batched_e2e_on_hardware(scene960):
         assert (np.asarray(kb.valid)[b] == v).all()
         np.testing.assert_allclose(np.asarray(db)[b][v],
                                    np.asarray(d)[v], atol=2e-3)
+
+
+@needs_tpu
+def test_ori_gather_kernel_parity():
+    """Batched patch-gather DMA kernel (ops/ori_gather_pallas) vs
+    vmapped dynamic_slice, non-interpreted, at both live patch sizes
+    (orientation 37, descriptor 81)."""
+    import jax
+    import jax.numpy as jnp
+    from sift_tpu.ops.ori_gather_pallas import gather_patches
+
+    rng = np.random.default_rng(42)
+    for patch in (37, 81):
+        nlay, h, w = 3, 540, 960
+        hp, wp = h - 1 + patch, w - 1 + patch
+        padded = jnp.asarray(rng.standard_normal((nlay, hp, wp)),
+                             jnp.float32)
+        n = 256
+        layer = jnp.asarray(rng.integers(0, nlay, n), jnp.int32)
+        r = jnp.asarray(rng.integers(0, h, n), jnp.int32)
+        c = jnp.asarray(rng.integers(0, w, n), jnp.int32)
+        got = np.asarray(gather_patches(padded, layer, r, c, patch,
+                                        interpret=False))
+        want = np.asarray(jax.vmap(
+            lambda l0, r0, c0: jax.lax.dynamic_slice(
+                padded, (l0, r0, c0), (1, patch, patch))[0]
+        )(layer, r, c))
+        np.testing.assert_array_equal(got, want)
