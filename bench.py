@@ -312,8 +312,11 @@ def _config_ab(field: str, values, stage: str, artifact: str) -> None:
                 return jnp.sum(desc[:4]) + acc
 
         out[f"{stage}_ms"][str(v)] = round(_chain_ms(fn), 2)
-    with open(artifact, "w") as f:
-        json.dump(out, f, indent=2)
+        # flush after every arm: if a later arm crashes the device
+        # (or the tunnel drops mid-A/B), the arms already measured
+        # still land in the artifact
+        with open(artifact, "w") as f:
+            json.dump(out, f, indent=2)
     print(json.dumps(out))
 
 

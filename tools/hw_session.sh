@@ -34,6 +34,8 @@ run preflight 200 python -m sift_tpu.utils.health 180 || {
 run headline   1800 python bench.py --no-preflight
 run stages     1800 python bench.py --no-preflight --stages
 run internals  2400 python bench.py --no-preflight --internals
+run ori_gather_ab   2400 python bench.py --no-preflight --ori-gather-ab
+run descr_gather_ab 2400 python bench.py --no-preflight --descr-gather-ab
 run ori_ab     2400 python bench.py --no-preflight --ori-ab
 run descr_ab   2400 python bench.py --no-preflight --descr-ab
 run band       1800 python bench.py --no-preflight --band
