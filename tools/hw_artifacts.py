@@ -5,7 +5,7 @@ Runs, on the real chip:
   1. SIFT_TPU_HW_TESTS=1 pytest tests/test_tpu_hardware.py  -> HW_TESTS.json
   2. python bench.py --stages                               -> BENCH_STAGES.json
      python bench.py --internals                            -> BENCH_INTERNALS.json
-  3. python bench.py --batch N                              -> BENCH_BATCH.json
+  3. python bench.py --batch-sweep                          -> BENCH_BATCH.json
   4. python -m sift_tpu.eval --gate --out EVAL.json
   5. python bench.py                                        (headline, stdout)
 
@@ -27,6 +27,41 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _parse_pytest_counts(stdout: str) -> dict:
+    """Pass/fail/skip counts from pytest -q output.
+
+    Round 4 shipped HW_TESTS.json with passed=0/failed=0 next to
+    returncode=1 (VERDICT r4 weak #1): the old parse regexed only the
+    final "N passed" summary line, which is absent when pytest dies
+    mid-run (device crash / timeout). Parse the count line wherever it
+    is, and fall back to counting the per-test PASSED/FAILED markers
+    from the short summary so a truncated run still reports what it
+    saw. `summary` is the last count-shaped line, else the last line.
+    """
+    lines = stdout.strip().splitlines()
+    count_re = re.compile(
+        r"(\d+)\s+(passed|failed|skipped|errors?|xfailed|xpassed)")
+    counts, summary = {}, (lines[-1] if lines else "")
+    for ln in reversed(lines):
+        found = count_re.findall(ln)
+        if found:
+            counts = {k.rstrip("s"): int(n) for n, k in found}
+            summary = ln.strip("= ")
+            break
+    if not counts:
+        counts = {
+            "passed": len(re.findall(r"^PASSED ", stdout, re.M)),
+            "failed": len(re.findall(r"^FAILED ", stdout, re.M)),
+            "truncated_output": True,
+        }
+    return {"passed": counts.get("passed", 0),
+            "failed": counts.get("failed", 0) + counts.get("error", 0),
+            "skipped": counts.get("skipped", 0),
+            **({"truncated_output": True}
+               if counts.get("truncated_output") else {}),
+            "summary": summary}
+
+
 def run(cmd, env=None, timeout=1800):
     t0 = time.time()
     e = dict(os.environ)
@@ -44,41 +79,30 @@ def main() -> int:
     args = ap.parse_args()
     failures = []
 
-    # 0. bounded backend-init preflight (the axon tunnel can wedge so
-    # that jax.devices() never returns; don't let step 1 eat its whole
-    # 1800s timeout discovering that)
+    # 0. bounded backend-init preflight with the shared retrying
+    # probe (bench.probe_backend re-probes a wedged tunnel for up to
+    # SIFT_TPU_PREFLIGHT_BUDGET before giving up, and fails fast on a
+    # host with no TPU at all)
     sys.path.insert(0, REPO)
     import bench
-    try:
-        p, dt = run([sys.executable, "-c", bench._PREFLIGHT_SRC],
-                    timeout=bench.PREFLIGHT_TIMEOUT_S)
-        ok = p.returncode == 0
-        detail = (p.stdout or p.stderr or "").strip()[-300:]
-    except subprocess.TimeoutExpired:
-        ok, dt = False, float(bench.PREFLIGHT_TIMEOUT_S)
-        detail = "backend init timeout (axon tunnel wedge)"
-    if not ok:
-        rec = {"error": "backend_unavailable", "detail": detail,
-               "wall_s": round(dt, 1)}
+    t0 = time.time()
+    failure = bench.probe_backend()
+    if failure is not None:
+        failure["wall_s"] = round(time.time() - t0, 1)
         with open(os.path.join(REPO, "HW_TESTS.json"), "w") as fh:
-            json.dump(rec, fh, indent=2)
+            json.dump(failure, fh, indent=2)
         print("backend unavailable — no hardware artifacts refreshed:",
-              detail, file=sys.stderr)
+              failure["error_detail"], file=sys.stderr)
         return 2
-    print(f"preflight ok ({dt:.0f}s): {detail}")
+    print(f"preflight ok ({time.time() - t0:.0f}s)")
 
     # 1. on-hardware kernel parity lane
     p, dt = run([sys.executable, "-m", "pytest",
                  "tests/test_tpu_hardware.py", "-q"],
                 env={"SIFT_TPU_HW_TESTS": "1"})
-    tail = (p.stdout or "").strip().splitlines()[-1:]
-    m = re.search(r"(\d+) passed", p.stdout or "")
-    f = re.search(r"(\d+) failed", p.stdout or "")
-    rec = {"passed": int(m.group(1)) if m else 0,
-           "failed": int(f.group(1)) if f else 0,
+    rec = {**_parse_pytest_counts(p.stdout or ""),
            "returncode": p.returncode,
-           "wall_s": round(dt, 1),
-           "summary": tail[0] if tail else ""}
+           "wall_s": round(dt, 1)}
     with open(os.path.join(REPO, "HW_TESTS.json"), "w") as fh:
         json.dump(rec, fh, indent=2)
     print("HW_TESTS.json:", json.dumps(rec))
@@ -89,8 +113,7 @@ def main() -> int:
     # 2-3. stage/internals/batched benches (each writes its own
     # artifact). --no-preflight: step 0 already proved the backend;
     # each child re-probing would burn 30-180s of a recovery window
-    for extra in (["--stages"], ["--internals"],
-                  ["--batch", str(args.batch)]):
+    for extra in (["--stages"], ["--internals"], ["--batch-sweep"]):
         p, dt = run([sys.executable, "bench.py", "--no-preflight"] + extra)
         print(f"bench {extra}: rc={p.returncode} {dt:.0f}s")
         if p.returncode != 0:
