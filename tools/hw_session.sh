@@ -25,7 +25,18 @@ run() {
   return $rc
 }
 
-run preflight 200 python -m sift_tpu.utils.health 180 || {
+# Retrying preflight: bench.probe_backend re-probes a wedged tunnel
+# every 2 min for up to SIFT_TPU_PREFLIGHT_BUDGET (default 30 min;
+# raise via env for overnight sessions) and fails fast when the host
+# has no TPU at all. One 180s health probe was not wedge-resistant:
+# round 5's first session aborted on a wedge that cleared minutes
+# later.
+run preflight 3700 python -c '
+import sys, bench
+r = bench.probe_backend()
+if r is not None:
+    print(r); sys.exit(1)
+' || {
   echo "backend unavailable — aborting hardware session" | tee -a "$LOG"
   exit 2
 }
