@@ -41,6 +41,24 @@ def test_batched_detect_matches_single(frame_batch, mesh8):
                                rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
+def test_batched_detect_scan_mode_matches_single(frame_batch, mesh8):
+    """frames_per_chip_mode="scan" (per-frame latency graph under
+    lax.map) must produce exactly the same per-frame results as the
+    single-frame facade."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, frames_per_chip_mode="scan")
+    kp, desc = batched_detect_and_compute(jnp.asarray(frame_batch),
+                                          mesh8, cfg)
+    kp1, d1 = sift.detect_and_compute(jnp.asarray(frame_batch[5]), CFG)
+    np.testing.assert_allclose(np.asarray(desc[5]), np.asarray(d1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(kp.valid[5]),
+                                  np.asarray(kp1.valid))
+    np.testing.assert_allclose(np.asarray(kp.x[5]), np.asarray(kp1.x),
+                               rtol=1e-4, atol=1e-3)
+
+
 @pytest.fixture(scope="module")
 def descs(rng):
     def make(n):
