@@ -49,16 +49,30 @@ def _parse_pytest_counts(stdout: str) -> dict:
             summary = ln.strip("= ")
             break
     if not counts:
-        counts = {
-            "passed": len(re.findall(r"^PASSED ", stdout, re.M)),
-            "failed": len(re.findall(r"^FAILED ", stdout, re.M)),
-            "truncated_output": True,
-        }
+        # no count line at all (seen on-hardware 2026-08-19: stdout
+        # ended at the "........ [100%]" progress line with rc=0) —
+        # decode the progress line: '.'=pass, 's'=skip, 'F'=fail,
+        # 'E'/'x'/'X' = error/xfail/xpass
+        m = re.search(r"^([.sFEXx]+)\s+\[100%\]", stdout, re.M)
+        if m:
+            bar = m.group(1)
+            counts = {"passed": bar.count("."),
+                      "failed": bar.count("F") + bar.count("E"),
+                      "skipped": bar.count("s"),
+                      "counted_from_progress_bar": True}
+        else:
+            counts = {
+                "passed": len(re.findall(r"^PASSED ", stdout, re.M)),
+                "failed": len(re.findall(r"^FAILED ", stdout, re.M)),
+                "truncated_output": True,
+            }
     return {"passed": counts.get("passed", 0),
             "failed": counts.get("failed", 0) + counts.get("error", 0),
             "skipped": counts.get("skipped", 0),
             **({"truncated_output": True}
                if counts.get("truncated_output") else {}),
+            **({"counted_from_progress_bar": True}
+               if counts.get("counted_from_progress_bar") else {}),
             "summary": summary}
 
 
