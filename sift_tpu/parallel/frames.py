@@ -30,12 +30,22 @@ def batched_detect_and_compute(imgs: jnp.ndarray, mesh: Mesh,
 
     B must be divisible by the mesh "data" axis size. Each leaf of the
     returned Keypoints pytree is (B, N)-shaped and sharded over "data".
-    Each chip runs the grid-batched throughput path over its local
-    frames (detect_and_compute_batch: the batch rides the Pallas grid
-    / conv batch axis instead of vmapping whole-image kernels, filling
-    the chip on small octaves).
+
+    cfg.frames_per_chip_mode picks how each chip runs its local
+    frames: "batch" = detect_and_compute_batch (the batch rides the
+    Pallas grid / conv batch axis); "scan" = the single-frame latency
+    graph per local frame under lax.map (one compiled program, frames
+    serialized on-device — the right mode wherever the B x resolution
+    sweep in BENCH_BATCH.json shows latency dispatch beating the
+    batched path). Both produce identical per-frame results.
     """
-    local = functools.partial(sift.detect_and_compute_batch, cfg=cfg)
+    if cfg.frames_per_chip_mode == "scan":
+        def local(x):
+            return jax.lax.map(
+                lambda f: sift.detect_and_compute(f, cfg), x)
+    else:
+        local = functools.partial(sift.detect_and_compute_batch,
+                                  cfg=cfg)
     fn = shard_map(local, mesh=mesh,
                    in_specs=P("data"),
                    out_specs=(jax.tree_util.tree_map(

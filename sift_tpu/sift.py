@@ -219,6 +219,17 @@ def detect_and_compute_batch(imgs: jnp.ndarray,
     and extrema scan, and the gather-heavy tail is vmapped. Use
     jax.tree.map(lambda a: a[b], kp) for a per-frame view.
     """
+    # The per-octave tail below runs under vmap; the Pallas patch
+    # gather (scalar-prefetch grid + manual DMA) is only proven on
+    # hardware in the unbatched facade, so the batch path pins both
+    # gathers to the vmap-safe dynamic_slice formulation (identical
+    # values, tests/test_ori_gather.py / test_descr_gather.py).
+    import dataclasses
+    if (cfg.ori_gather_impl != "dynamic_slice"
+            or cfg.descr_gather_impl != "dynamic_slice"):
+        cfg = dataclasses.replace(cfg,
+                                  ori_gather_impl="dynamic_slice",
+                                  descr_gather_impl="dynamic_slice")
     octs = pyr.build_gaussian_pyramid_batch(imgs, cfg)
     dogs = pyr.build_dog_pyramid_batch(octs)
     kp_parts = []
