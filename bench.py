@@ -87,6 +87,11 @@ def preflight(timeout_s: int = PREFLIGHT_TIMEOUT_S,
     """
     result = probe_backend(timeout_s)
     if result is None:
+        # drop a stale failure marker from an earlier wedge — leaving
+        # a value-0.0 BENCH_PREFLIGHT.json next to a green headline
+        # misreports HEAD's state
+        if os.path.exists("BENCH_PREFLIGHT.json"):
+            os.remove("BENCH_PREFLIGHT.json")
         return
     if headline:
         result = {

@@ -41,7 +41,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_G = 8            # keypoints (patch DMAs in flight) per grid step
+# keypoints (patch DMAs in flight) per grid step; on-chip sweep
+# 2026-08-19 (tools/gather_g_sweep.py): G=8 detect 10.03 ms /
+# detect+describe 13.23, G=32 9.94 / 12.91 at 1080p — fewer grid
+# steps amortize the per-step DMA-issue bubble better
+_G = 32
 _LANES = 128
 _WIN = 256        # lane window: 128-aligned start + dc + patch <= 256
 

@@ -132,6 +132,14 @@ def refine_candidates(dog: jnp.ndarray,
     border = cfg.img_border
     fields = derivative_fields(dog, nl)
 
+    # Ten separate per-field gathers per fetch. The tested alternative
+    # — concatenating the fields into one (10*DHW,) buffer and issuing
+    # ONE gather of 10*N indices — LOST its on-chip A/B decisively
+    # (REFINE_AB.json 2026-08-19: fused 14.22 ms detect vs separate
+    # 10.16 at 1080p): TPU 1-D gathers over an 83 M-element buffer are
+    # throughput-bound on the scattered accesses, and the concat adds
+    # a full extra write pass; per-gather dispatch overhead was NOT
+    # the cost. Matches the round-2 (10, DHW) axis-1 gather finding.
     def fetch(lay, rr, cc):
         """(N,) coords -> 10-tuple of per-candidate (N,) gathers.
         lay is always in [1, nl]; fields cover exactly those layers."""

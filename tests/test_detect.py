@@ -144,3 +144,4 @@ def test_descriptor_layout_transposed_agrees():
     assert v1.sum() == v2.sum() and v1.sum() > 0
     np.testing.assert_allclose(np.asarray(d1)[v1], np.asarray(d2)[v2],
                                rtol=0, atol=1e-6)
+
